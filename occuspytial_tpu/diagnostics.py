@@ -1,0 +1,182 @@
+"""MCMC convergence diagnostics: rank-normalized split-R-hat and ESS.
+
+The reference delegates all posterior diagnostics to arviz
+(reference posterior.py:63-76: ``az.summary`` -> mean, sd, hdi_3%, hdi_97%,
+mcse_mean, mcse_sd, ess_bulk, ess_tail, r_hat). arviz is not a dependency
+of this rebuild, so the same estimators are implemented here following
+Vehtari, Gelman, Simpson, Carpenter & Bürkner (2021, Bayesian Analysis) —
+the algorithms arviz itself implements:
+
+- ``ess_bulk``: ESS of rank-normalized split chains with Geyer's initial
+  monotone positive sequence estimator of the autocorrelation time.
+- ``ess_tail``: min ESS of the 5% / 95% quantile-indicator chains.
+- ``rhat``: rank-normalized split-R-hat, max of the bulk and folded forms.
+- ``mcse_mean`` / ``mcse_sd``: Monte-Carlo standard errors.
+- ``hdi``: highest-density interval (default 94%, matching arviz).
+
+All functions take arrays shaped (chains, draws) and run on host numpy —
+they execute once after sampling, not in the hot loop.
+"""
+
+import numpy as np
+from scipy.special import ndtri
+from scipy.stats import rankdata
+
+
+def _split_chains(x):
+    """Split each chain in half: (m, n) -> (2m, n//2)."""
+    m, n = x.shape
+    half = n // 2
+    return np.vstack([x[:, :half], x[:, n - half:]])
+
+
+def _z_scale(x):
+    """Rank-normalize over all chains jointly: r -> ndtri((r-3/8)/(S+1/4))."""
+    shape = x.shape
+    ranks = rankdata(x, method='average').reshape(shape)
+    return ndtri((ranks - 3.0 / 8.0) / (x.size + 1.0 / 4.0))
+
+
+def _autocov(x):
+    """Per-chain autocovariance via FFT; x is (m, n), returns (m, n)."""
+    m, n = x.shape
+    x = x - x.mean(axis=1, keepdims=True)
+    size = 2 ** int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, size, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), size, axis=1)[:, :n].real
+    return acov / n
+
+
+def _ess(x):
+    """Geyer initial-monotone-sequence ESS of (m, n) split chains."""
+    m, n = x.shape
+    if n < 4 or np.allclose(x, x.ravel()[0]):
+        return np.nan
+    acov = _autocov(x)
+    chain_mean = x.mean(axis=1)
+    mean_var = acov[:, 0].mean() * n / (n - 1.0)
+    var_plus = mean_var * (n - 1.0) / n
+    if m > 1:
+        var_plus += chain_mean.var(ddof=1)
+    if var_plus == 0:
+        return np.nan
+
+    rho_hat = np.zeros(n)
+    rho_hat[0] = 1.0
+    # paired (even, odd) estimates with Geyer's positive-sequence stop
+    t = 1
+    rho_prev_pair = None
+    while t + 1 < n:
+        even = 1.0 - (mean_var - acov[:, t].mean()) / var_plus
+        odd = 1.0 - (mean_var - acov[:, t + 1].mean()) / var_plus
+        pair = even + odd
+        if pair < 0:
+            break
+        if rho_prev_pair is not None and pair > rho_prev_pair:
+            pair = rho_prev_pair  # enforce monotone nonincreasing
+            scale = pair / (even + odd) if (even + odd) != 0 else 0.0
+            even, odd = even * scale, odd * scale
+        rho_hat[t] = even
+        rho_hat[t + 1] = odd
+        rho_prev_pair = pair
+        t += 2
+
+    tau_hat = -1.0 + 2.0 * rho_hat[: max(t, 1)].sum()
+    tau_hat = max(tau_hat, 1.0 / np.log10(m * n + 10.0))
+    return m * n / tau_hat
+
+
+def ess_bulk(x):
+    """Bulk ESS: rank-normalized split-chain ESS."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    return _ess(_z_scale(_split_chains(x)))
+
+
+def ess_tail(x, probs=(0.05, 0.95)):
+    """Tail ESS: min ESS of the quantile-indicator chains."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    out = []
+    for p in probs:
+        q = np.quantile(x, p)
+        out.append(_ess(_split_chains((x <= q).astype(np.float64))))
+    return np.nanmin(out)
+
+
+def ess_mean(x):
+    """Plain (non-rank-normalized) split-chain ESS, for MCSE of the mean."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    return _ess(_split_chains(x))
+
+
+def _rhat_single(x):
+    """Split-R-hat of (m, n) chains."""
+    x = _split_chains(x)
+    m, n = x.shape
+    chain_mean = x.mean(axis=1)
+    chain_var = x.var(axis=1, ddof=1)
+    w = chain_var.mean()
+    b = n * chain_mean.var(ddof=1)
+    var_plus = w * (n - 1.0) / n + b / n
+    if w == 0:
+        return np.nan
+    return np.sqrt(var_plus / w)
+
+
+def rhat(x):
+    """Rank-normalized split-R-hat (max of bulk and folded forms)."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    if x.shape[0] < 2:
+        return np.nan
+    bulk = _rhat_single(_z_scale(x))
+    folded = _rhat_single(_z_scale(np.abs(x - np.median(x))))
+    return max(bulk, folded)
+
+
+def mcse_mean(x):
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    ess = ess_mean(x)
+    if not np.isfinite(ess) or ess <= 0:
+        return np.nan
+    return x.std(ddof=1) / np.sqrt(ess)
+
+
+def mcse_sd(x):
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    ess = np.nanmin([ess_mean(x), ess_mean(x**2)])
+    if not np.isfinite(ess) or ess <= 1:
+        return np.nan
+    sd = x.std(ddof=1)
+    fac = np.sqrt(np.exp(1.0) * (1.0 - 1.0 / ess) ** (ess - 1.0) - 1.0)
+    return sd * fac
+
+
+def hdi(x, prob=0.94):
+    """Highest-density interval of the flattened samples."""
+    flat = np.sort(np.asarray(x, dtype=np.float64).ravel())
+    n = flat.size
+    window = max(1, int(np.floor(prob * n)))
+    if window >= n:
+        return flat[0], flat[-1]
+    widths = flat[window:] - flat[: n - window]
+    lo = int(np.argmin(widths))
+    return flat[lo], flat[lo + window]
+
+
+def summary_stats(x, hdi_prob=0.94):
+    """One parameter's row of the summary table (arviz column contract)."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    lo, hi = hdi(x, hdi_prob)
+    pct = int(round(hdi_prob * 100))
+    lo_label = f'hdi_{(100 - pct) // 2}%'
+    hi_label = f'hdi_{100 - (100 - pct) // 2}%'
+    return {
+        'mean': x.mean(),
+        'sd': x.std(ddof=1),
+        lo_label: lo,
+        hi_label: hi,
+        'mcse_mean': mcse_mean(x),
+        'mcse_sd': mcse_sd(x),
+        'ess_bulk': ess_bulk(x),
+        'ess_tail': ess_tail(x),
+        'r_hat': rhat(x),
+    }

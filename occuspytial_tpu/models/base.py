@@ -1,0 +1,319 @@
+"""Sampler framework: pure-functional Gibbs kernels driven by lax.scan.
+
+TPU-first re-design of the reference's mutable-object sampler skeleton
+(reference gibbs/base.py:30-306). Instead of a ``State`` namespace mutated
+by ``step()`` inside a Python loop (reference gibbs/base.py:214-241), each
+sampler defines a pure transition ``state' = _step(key, state, fixed)``
+over pytrees. The driver:
+
+- ``vmap``s the transition over a leading chains axis — the TPU-native
+  analog of the reference's joblib process pool (reference
+  gibbs/parallel.py:4-42),
+- scans the vmapped transition once over all iterations with ``lax.scan``
+  (burn-in is sliced off on host: posterior rows are tiny, so storing them
+  during burn-in costs nothing and halves the compiled-variant count),
+- ``jit``s the whole run once per *model configuration* — compiled
+  executables are cached at class level keyed by the static config, so
+  re-constructing a sampler (reference's ``copy()`` idiom) never
+  recompiles.
+
+Randomness: one ``jax.random`` key per chain, split once per iteration and
+then per update — the counter-based analog of the reference's spawned
+``SeedSequence`` streams (reference gibbs/base.py:303-305).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..data import as_occupancy_data
+from ..ops import icar
+from ..posterior import PosteriorParameter
+
+# class-level cache of compiled run/init functions, keyed by
+# (class, static-config tuple): instances with identical model shape share
+# one executable (and the persistent XLA cache can reuse it across runs).
+_RUNNER_CACHE = {}
+
+
+def _config_proxy(cls, config):
+    """Instance of ``cls`` carrying only the static config attributes.
+
+    ``_step`` and ``_init_state`` consult ``self`` exclusively for static,
+    hashable configuration (dims, dtype, method flags); building a
+    skeleton instance lets equal-config sampler objects share one jitted
+    runner while keeping the subclass method-resolution order.
+    """
+    proxy = cls.__new__(cls)
+    for k, v in config:
+        setattr(proxy, k, v)
+    return proxy
+
+
+def _get_runner(cls, config):
+    key = (cls, config)
+    if key not in _RUNNER_CACHE:
+        proxy = _config_proxy(cls, config)
+        run = jax.jit(proxy._run_chains, static_argnames=('size',))
+        init = jax.jit(jax.vmap(proxy._init_state, in_axes=(0, None)))
+        _RUNNER_CACHE[key] = (run, init)
+    return _RUNNER_CACHE[key]
+
+
+class GibbsBase:
+    """Shared machinery for the occupancy-model Gibbs samplers.
+
+    Parameters mirror reference gibbs/base.py:30-88: ``Q`` the spatial
+    precision (scipy sparse or dense), ``W``/``y`` dict-of-ragged survey
+    data (or a prebuilt :class:`~occuspytial_tpu.data.OccupancyData`),
+    ``X`` the (n, p) occupancy design matrix, ``hparams`` the six
+    documented hyperparameters, ``random_state`` an integer seed.
+
+    TPU-specific extras: ``dtype`` selects the on-device precision
+    (float32 default; float64 only sensible on CPU backends).
+    """
+
+    #: names of parameters retained in the posterior chain
+    posterior_names = ('alpha', 'beta', 'tau')
+
+    def __init__(
+        self, Q, W, X, y, hparams=None, random_state=None,
+        dtype=jnp.float32,
+    ):
+        self.dtype = jnp.dtype(dtype)
+        x_np = np.asarray(X, dtype=np.float64)
+        self.n = x_np.shape[0]
+        self.n_beta = x_np.shape[1]
+        self.data = as_occupancy_data(W, y, self.n, dtype=self.dtype)
+        self.n_alpha = self.data.n_alpha
+        self.max_visits = self.data.max_visits
+        self._seed = 0 if random_state is None else int(random_state)
+
+        self.fixed = {}
+        self._configure(Q, x_np, hparams)
+        # move every fixed array to device dtype once
+        self.fixed = {
+            k: (
+                jnp.asarray(v, dtype=self.dtype)
+                if np.asarray(v).dtype.kind == 'f'
+                else jnp.asarray(v)
+            )
+            for k, v in self.fixed.items()
+        }
+
+    # ------------------------------------------------------------------ #
+    # configuration (host side, runs once)
+    # ------------------------------------------------------------------ #
+
+    def _configure(self, Q, x_np, hparams):
+        """Build the ``fixed`` pytree (reference gibbs/base.py:107-164)."""
+        icar.verify_spatial_precision(Q)
+
+        q_dense = icar.to_dense(Q)
+        f = self.fixed
+        f['X'] = x_np
+        f['Q'] = q_dense
+        f['W'] = self.data.W
+        f['y'] = self.data.y
+        f['visit_mask'] = np.asarray(self.data.visit_mask, dtype=np.float64)
+        f['surveyed'] = np.asarray(self.data.surveyed)
+        f['obs'] = np.asarray(self.data.obs, dtype=np.float64)
+
+        self._set_hyperparams(hparams)
+
+    def _set_hyperparams(self, hparams):
+        """Hyperparameter defaults (reference gibbs/base.py:177-186)."""
+        hp = dict(hparams) if hparams else {}
+        self.hparams_given = bool(hparams)
+        f = self.fixed
+        f['tau_rate'] = float(hp.get('tau_rate', 0.005))
+        f['tau_shape'] = float(
+            hp.get('tau_shape', 0.5 + 0.5 * (self.n - 1))
+        )
+        f['a_mu'] = np.asarray(
+            hp.get('a_mu', np.zeros(self.n_alpha)), dtype=np.float64
+        )
+        f['a_prec'] = np.asarray(
+            hp.get('a_prec', np.eye(self.n_alpha) / 10), dtype=np.float64
+        )
+        f['b_mu'] = np.asarray(
+            hp.get('b_mu', np.zeros(self.n_beta)), dtype=np.float64
+        )
+        f['b_prec'] = np.asarray(
+            hp.get('b_prec', np.eye(self.n_beta) / 10), dtype=np.float64
+        )
+        f['a_prec_by_mu'] = f['a_prec'] @ f['a_mu']
+        f['b_prec_by_mu'] = f['b_prec'] @ f['b_mu']
+
+    def _static_config(self):
+        """Hashable static attributes consulted by _step/_init_state.
+
+        Subclasses extend. Used to key the shared compiled-runner cache.
+        """
+        return (
+            ('dtype', self.dtype),
+            ('n', self.n),
+            ('n_alpha', self.n_alpha),
+            ('n_beta', self.n_beta),
+            ('max_visits', self.max_visits),
+            ('posterior_names', self.posterior_names),
+        )
+
+    # ------------------------------------------------------------------ #
+    # state initialization (pure; vmapped over chains)
+    # ------------------------------------------------------------------ #
+
+    def _initial_z(self, fixed):
+        """Initial occupancy: observed -> 1, unsurveyed -> 1, surveyed
+        unobserved -> 0 (reference gibbs/base.py:113-119)."""
+        surveyed = fixed['surveyed']
+        return jnp.where(
+            surveyed, fixed['obs'].astype(self.dtype),
+            jnp.ones(self.n, self.dtype),
+        )
+
+    def _init_common(self, key, fixed):
+        """Default random start (reference gibbs/base.py:199-212)."""
+        k_tau, k_eta, k_alpha, k_beta = jax.random.split(key, 4)
+        state = {}
+        state['z'] = self._initial_z(fixed)
+        state['k'] = state['z'] - 0.5
+        state['tau'] = jax.random.gamma(k_tau, 0.5, dtype=self.dtype) / (
+            fixed['tau_rate']
+        )
+        eta = jax.random.normal(k_eta, (self.n,), self.dtype)
+        state['eta'] = eta - eta.mean()
+        state['spatial'] = state['eta']
+        # reference draws alpha/beta ~ MVN(mu, 100 * prec) treating the
+        # precision as a covariance (gibbs/base.py:206-211); replicated.
+        la = jnp.linalg.cholesky(100.0 * fixed['a_prec'])
+        lb = jnp.linalg.cholesky(100.0 * fixed['b_prec'])
+        state['alpha'] = fixed['a_mu'] + la @ jax.random.normal(
+            k_alpha, (self.n_alpha,), self.dtype
+        )
+        state['beta'] = fixed['b_mu'] + lb @ jax.random.normal(
+            k_beta, (self.n_beta,), self.dtype
+        )
+        return state
+
+    def _init_state(self, key, fixed):
+        """Subclasses may extend (e.g. RSR eta dimension, probit eps)."""
+        return self._init_common(key, fixed)
+
+    def _apply_start(self, state, start):
+        """Override state entries from a user ``start`` dict
+        (reference gibbs/base.py:188-197)."""
+        out = dict(state)
+        for name in ('alpha', 'beta', 'tau', 'eta'):
+            if name in start:
+                out[name] = jnp.asarray(start[name], dtype=self.dtype)
+        out['spatial'] = self._spatial_from_eta(out['eta'])
+        return out
+
+    def _spatial_from_eta(self, eta):
+        return eta
+
+    # ------------------------------------------------------------------ #
+    # transition kernel
+    # ------------------------------------------------------------------ #
+
+    def _step(self, key, state, fixed):
+        raise NotImplementedError(
+            f'{self.__class__.__name__} must implement a `_step` method.'
+        )
+
+    # ------------------------------------------------------------------ #
+    # run driver
+    # ------------------------------------------------------------------ #
+
+    def _run_chains(self, keys, state0, fixed, *, size):
+        """scan(vmap(step)) over iterations.
+
+        Returns ``((next_keys, final_states), samples)`` where ``samples``
+        maps name -> (size, chains, ...). Because the per-chain key stream
+        is carried in the scan state, resuming from the returned carry and
+        concatenating outputs is bitwise-identical to one longer scan —
+        which is how the progress-bar path ticks without host callbacks
+        (unsupported by the axon TPU plugin) or extra compiled variants.
+        """
+
+        def body(carry, _):
+            ks, states = carry
+            pairs = jax.vmap(lambda k: jax.random.split(k))(ks)
+            ks_next, subs = pairs[:, 0], pairs[:, 1]
+            states = jax.vmap(
+                lambda k, s: self._step(k, s, fixed)
+            )(subs, states)
+            out = {name: states[name] for name in self.posterior_names}
+            return (ks_next, states), out
+
+        return lax.scan(body, (keys, state0), None, length=size)
+
+    def sample(
+        self, size, burnin=0, start=None, chains=2, progressbar=True,
+    ):
+        """Draw posterior samples (API of reference gibbs/base.py:243-291).
+
+        Returns a :class:`~occuspytial_tpu.posterior.PosteriorParameter`
+        over parameters ('alpha', 'beta', 'tau') with per-chain arrays of
+        shape (chains, size - burnin[, dim]).
+        """
+        if burnin >= size:
+            raise ValueError('burnin value cannot be larger than sample size')
+        if chains < 1:
+            raise ValueError('chains must a positive integer.')
+        # trigger NotImplementedError eagerly for abstract samplers
+        if type(self)._step is GibbsBase._step:
+            self._step(None, None, None)
+
+        run, init = _get_runner(type(self), self._static_config())
+
+        root = jax.random.key(self._seed)
+        init_keys = jax.random.split(jax.random.fold_in(root, 1), chains)
+        run_keys = jax.random.split(jax.random.fold_in(root, 2), chains)
+
+        state0 = init(init_keys, self.fixed)
+        if start is not None:
+            state0 = jax.vmap(lambda s: self._apply_start(s, start))(state0)
+
+        if progressbar:
+            from tqdm.auto import tqdm
+
+            # chunked dispatch of one compiled scan length; resuming from
+            # the carried keys makes the result identical to a single scan
+            chunk = max(1, -(-size // 50))
+            n_chunks = -(-size // chunk)
+            carry, outs = (run_keys, state0), []
+            with tqdm(total=size) as bar:
+                for i in range(n_chunks):
+                    carry, out = jax.block_until_ready(
+                        run(carry[0], carry[1], self.fixed, size=chunk)
+                    )
+                    outs.append(out)
+                    bar.update(min(chunk, size - i * chunk))
+            samples = {
+                name: np.concatenate(
+                    [np.asarray(o[name]) for o in outs]
+                )[:size]
+                for name in self.posterior_names
+            }
+        else:
+            _, samples = jax.block_until_ready(
+                run(run_keys, state0, self.fixed, size=size)
+            )
+
+        merged = {
+            name: np.moveaxis(np.asarray(arr), 0, 1)[:, burnin:]
+            for name, arr in samples.items()
+        }
+        return PosteriorParameter(merged)
+
+    def copy(self):
+        """Return a same-model sampler with an independent random stream
+        (API parity with reference gibbs/base.py:293-306). Shares the
+        compiled runner with the original — no recompilation."""
+        out = self.__class__.__new__(self.__class__)
+        out.__dict__.update(self.__dict__)
+        out._seed = self._seed + 1
+        return out

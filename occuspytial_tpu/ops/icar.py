@@ -1,0 +1,149 @@
+"""ICAR precision-matrix construction and one-time spectral setup.
+
+Host-side (numpy/scipy) helpers that run once at sampler construction, the
+TPU analog of the reference's setup phase:
+
+- ``lattice_precision`` replaces ``rand_precision_mat``'s dependency on
+  libpysal's ``lat2SW`` (reference utils.py:38-103) with a direct
+  rook/queen stencil assembly: Q = diag(rowsum(A)) - rho * A.
+- ``icar_sqrt_factor`` mirrors the dense eigenfactor precomputation of
+  ``_EtaICARPosterior.__init__`` (reference gibbs/logit.py:64-67): drop the
+  null eigenvector of the singular ICAR precision and return
+  B = U[:, 1:] * sqrt(s[1:]) so that B B' = Q.
+- ``psd_sqrt_factor`` is the nonsingular analog used for the RSR-projected
+  precision (reference gibbs/logit.py:317-320).
+- ``moran_basis`` builds the Moran-operator eigenbasis used by the RSR
+  samplers (reference gibbs/logit.py:415-447, duplicated in
+  gibbs/probit.py:109-142).
+- ``verify_spatial_precision`` mirrors the singularity check at reference
+  gibbs/base.py:166-170.
+
+Everything returns numpy arrays; samplers move results to device once.
+"""
+
+import numpy as np
+import scipy.sparse as sps
+from scipy.sparse.linalg import eigsh
+
+
+def lattice_precision(lat_row, lat_col, max_neighbors=8, rho=1.0):
+    """Spatial precision matrix of a rectangular lattice, as scipy COO.
+
+    ``max_neighbors=4`` uses the rook criterion (N/S/E/W adjacency),
+    ``max_neighbors=8`` the queen criterion (plus diagonals). ``rho=1``
+    gives the singular Intrinsic Autoregressive precision. Matches the
+    output contract of reference utils.py:38-103 without libpysal.
+    """
+    if max_neighbors == 8:
+        offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1)]
+    elif max_neighbors == 4:
+        offsets = [(-1, 0), (0, -1)]
+    else:
+        raise ValueError(
+            'Maximum number of neighbors should be one of {4, 8}'
+        )
+
+    rows_idx, cols_idx = [], []
+    grid = np.arange(lat_row * lat_col).reshape(lat_row, lat_col)
+    for dr, dc in offsets:
+        r0 = max(0, -dr)
+        r1 = lat_row - max(0, dr)
+        c0 = max(0, -dc)
+        c1 = lat_col - max(0, dc)
+        a = grid[r0:r1, c0:c1].ravel()
+        b = grid[r0 + dr:r1 + dr, c0 + dc:c1 + dc].ravel()
+        rows_idx.append(a)
+        cols_idx.append(b)
+    i = np.concatenate(rows_idx)
+    j = np.concatenate(cols_idx)
+    # symmetric adjacency
+    data = np.ones(i.size * 2, dtype=np.int64)
+    adj = sps.coo_matrix(
+        (data, (np.concatenate([i, j]), np.concatenate([j, i]))),
+        shape=(lat_row * lat_col, lat_row * lat_col),
+    ).tocsr()
+    deg = np.asarray(adj.sum(axis=1)).ravel()
+    q = sps.diags(deg, dtype=adj.dtype) - rho * adj
+    return q.tocoo()
+
+
+def to_dense(q):
+    """Dense float64 view of a sparse-or-dense precision matrix."""
+    if sps.issparse(q):
+        return np.asarray(q.todense(), dtype=np.float64)
+    return np.asarray(q, dtype=np.float64)
+
+
+def verify_spatial_precision(q):
+    """Raise unless Q is singular (an ICAR precision must be).
+
+    Mirrors reference gibbs/base.py:166-170 (smallest-eigenvalue shift-
+    invert check).
+    """
+    qc = sps.csc_matrix(q) if not sps.issparse(q) else q.tocsc()
+    eig = eigsh(
+        qc.astype(np.float64), k=1, which='SA',
+        return_eigenvectors=False, sigma=0.001,
+    )
+    if eig[0] >= 1e-4:
+        raise ValueError('Spatial precision matrix Q must be singular.')
+
+
+def icar_sqrt_factor(q_dense):
+    """Eigenfactor B (n, n-1) with B B' = Q for the singular ICAR precision.
+
+    Drops the (theoretically zero) smallest eigenvalue, exactly as
+    reference gibbs/logit.py:66-67 does with ``u[:, 1:] * sqrt(s[1:])``.
+    """
+    s, u = np.linalg.eigh(q_dense)
+    s = np.clip(s, 0.0, None)
+    return u[:, 1:] * np.sqrt(s[1:])
+
+
+def psd_sqrt_factor(q_dense):
+    """Eigenfactor E with E E' = Q for a (nonsingular) PSD precision.
+
+    Mirrors reference gibbs/logit.py:317-320 (``u * sqrt(s)``).
+    """
+    s, u = np.linalg.eigh(q_dense)
+    s = np.clip(s, 0.0, None)
+    return u * np.sqrt(s)
+
+
+def moran_basis(x, q, r=0.5, num_eigs=None):
+    """Moran-operator eigenbasis for Reduced Spatial Regression.
+
+    Builds P = I - X (X'X)^{-1} X', the Moran operator
+    M = n * P' A P / sum(A) with A = -offdiag(Q), eigendecomposes it and
+    keeps the top-``num_eigs`` eigenvectors (or those with eigenvalue >= r
+    when ``num_eigs`` is None). Mirrors reference gibbs/logit.py:415-447.
+
+    Returns (K, q_rsr) where K is (n, q) and q_rsr = K' Q K.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    # P = I - X (X'X)^{-1} X' via least-squares projector
+    xtx_inv_xt = np.linalg.solve(x.T @ x, x.T)
+    p = -(x @ xtx_inv_xt)
+    p[np.diag_indices_from(p)] += 1.0
+
+    q_dense = to_dense(q)
+    a = -q_dense.copy()
+    np.fill_diagonal(a, 0.0)
+    moran = n * (p.T @ a @ p) / a.sum()
+
+    w, v = np.linalg.eigh(moran)
+    if num_eigs:
+        q_dim = int(num_eigs)
+    else:
+        if not 0 <= r <= 1:
+            raise ValueError('Threshold value needs to be in [0, 1]')
+        q_dim = int((w >= r).sum())
+        if not q_dim:
+            raise ValueError(
+                'The Moran Operator Matrix of the data has no positive '
+                'eigenvalues. Set threshold to a lower value'
+            )
+    k = v[:, -q_dim:]
+    q_rsr = k.T @ q_dense @ k
+    return k, q_rsr

@@ -1,0 +1,26 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chain/multi-chip behavior is validated without TPU hardware by
+forcing the CPU backend with 8 virtual devices (SURVEY.md §4's TPU-rebuild
+implication). Note the axon TPU plugin overrides the JAX_PLATFORMS env
+var, so the backend must be forced through the config API before first
+device use. A persistent compilation cache keeps repeat test runs fast.
+"""
+
+import os
+
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update(
+    'jax_compilation_cache_dir',
+    os.path.join(os.path.dirname(__file__), '..', '.jax_cache'),
+)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
