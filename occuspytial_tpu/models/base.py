@@ -77,6 +77,10 @@ class GibbsBase:
     #: names of parameters retained in the posterior chain
     posterior_names = ('alpha', 'beta', 'tau')
 
+    #: iterations per compiled scan dispatch; any ``sample(size=...)`` is
+    #: served by repeats of this one executable (see ``sample``)
+    scan_chunk = 64
+
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32,
@@ -277,36 +281,35 @@ class GibbsBase:
         if start is not None:
             state0 = jax.vmap(lambda s: self._apply_start(s, start))(state0)
 
+        # All sampling runs as repeats of one fixed-length compiled scan
+        # (resumed from the carried per-chain keys, so the result is
+        # bitwise-identical to a single fused scan). The executable then
+        # depends only on (model config, chains, scan_chunk) — never on
+        # ``size``/``burnin`` — so varying sample sizes never recompile.
+        chunk = max(1, int(self.scan_chunk))
+        n_chunks = -(-size // chunk)
+
+        bar = None
         if progressbar:
             from tqdm.auto import tqdm
 
-            # chunked dispatch of one compiled scan length; resuming from
-            # the carried keys makes the result identical to a single scan
-            chunk = max(1, -(-size // 50))
-            n_chunks = -(-size // chunk)
-            carry, outs = (run_keys, state0), []
-            with tqdm(total=size) as bar:
-                for i in range(n_chunks):
-                    carry, out = jax.block_until_ready(
-                        run(carry[0], carry[1], self.fixed, size=chunk)
-                    )
-                    outs.append(out)
+            bar = tqdm(total=size)
+        carry, outs = (run_keys, state0), []
+        try:
+            for i in range(n_chunks):
+                carry, out = run(carry[0], carry[1], self.fixed, size=chunk)
+                outs.append(out)
+                if bar is not None:
+                    jax.block_until_ready(out)
                     bar.update(min(chunk, size - i * chunk))
-            samples = {
-                name: np.concatenate(
-                    [np.asarray(o[name]) for o in outs]
-                )[:size]
-                for name in self.posterior_names
-            }
-        else:
-            _, samples = jax.block_until_ready(
-                run(run_keys, state0, self.fixed, size=size)
-            )
+        finally:
+            if bar is not None:
+                bar.close()
 
-        merged = {
-            name: np.moveaxis(np.asarray(arr), 0, 1)[:, burnin:]
-            for name, arr in samples.items()
-        }
+        merged = {}
+        for name in self.posterior_names:
+            arr = np.concatenate([np.asarray(o[name]) for o in outs])[:size]
+            merged[name] = np.moveaxis(arr, 0, 1)[:, burnin:]
         return PosteriorParameter(merged)
 
     def copy(self):

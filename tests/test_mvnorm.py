@@ -1,0 +1,138 @@
+"""Precision-parametrized Gaussian draw tests.
+
+The reference tests its Cython kernel only for shape / reproducibility /
+input-clobbering (reference tests/test_distributions.py); here the draws
+are additionally validated against the analytic mean and covariance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from occuspytial_tpu.ops.icar import (
+    icar_sqrt_factor,
+    lattice_precision,
+    psd_sqrt_factor,
+)
+from occuspytial_tpu.ops.mvnorm import (
+    constrained_icar_mvnorm,
+    precision_mvnorm,
+    rsr_mvnorm,
+    sum_to_zero,
+)
+
+
+def test_sum_to_zero():
+    rng = np.random.default_rng(0)
+    x, z = rng.normal(size=20), rng.uniform(1, 2, size=20)
+    out = sum_to_zero(jnp.asarray(x), jnp.asarray(z))
+    assert abs(float(out.sum())) < 1e-4
+    # matches the reference's kriging formula (distributions.pyx:24-39)
+    np.testing.assert_allclose(
+        np.asarray(out), x - z * (x.sum() / z.sum()), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_precision_mvnorm_moments():
+    rng = np.random.default_rng(1)
+    d = 4
+    a = rng.normal(size=(d, d))
+    prec = a @ a.T + d * np.eye(d)
+    b = rng.normal(size=d)
+    cov = np.linalg.inv(prec)
+    mean = cov @ b
+
+    keys = jax.random.split(jax.random.key(0), 40_000)
+    draws = jax.vmap(
+        lambda k: precision_mvnorm(
+            k, jnp.asarray(b, jnp.float32), jnp.asarray(prec, jnp.float32)
+        )
+    )(keys)
+    draws = np.asarray(draws, dtype=np.float64)
+    np.testing.assert_allclose(draws.mean(0), mean, atol=4 * np.sqrt(
+        np.diag(cov).max() / draws.shape[0]) * 4)
+    np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.05 * np.abs(
+        cov).max() + 0.01)
+
+
+def test_precision_mvnorm_does_not_clobber_input():
+    """Unlike the reference Cython kernel (documented clobbering at
+    reference tests/test_distributions.py:16), inputs are untouched."""
+    prec = jnp.eye(3) * 2.0
+    before = np.asarray(prec).copy()
+    precision_mvnorm(jax.random.key(0), jnp.ones(3), prec)
+    np.testing.assert_array_equal(np.asarray(prec), before)
+
+
+def _lattice_q(n_rows, n_cols):
+    return np.asarray(
+        lattice_precision(n_rows, n_cols, 4).todense(), dtype=np.float64
+    )
+
+
+def test_constrained_icar_moments():
+    """Draws must satisfy 1'eta = 0 and match the constrained-MVN moments.
+
+    The unconstrained precision is Lambda = tau*Q + diag(omega); the
+    conditional on the hyperplane has mean m - S1 (1'm)/(1'S1) with
+    S = Lambda^{-1} (kriging identity the reference implements at
+    gibbs/logit.py:94-99)."""
+    rng = np.random.default_rng(2)
+    q = _lattice_q(4, 4)
+    n = q.shape[0]
+    omega = rng.uniform(0.1, 0.3, n)
+    tau = 1.7
+    b = rng.normal(size=n)
+    lam = tau * q + np.diag(omega)
+    cov = np.linalg.inv(lam)
+    m = cov @ b
+    s1 = cov @ np.ones(n)
+    mean_c = m - s1 * (m.sum() / s1.sum())
+
+    factor = jnp.asarray(icar_sqrt_factor(q), jnp.float32)
+    keys = jax.random.split(jax.random.key(5), 40_000)
+    draws = jax.vmap(
+        lambda k: constrained_icar_mvnorm(
+            k, jnp.asarray(b, jnp.float32), jnp.asarray(omega, jnp.float32),
+            jnp.asarray(tau, jnp.float32), jnp.asarray(q, jnp.float32),
+            factor,
+        )
+    )(keys)
+    draws = np.asarray(draws, dtype=np.float64)
+    assert np.abs(draws.sum(1)).max() < 1e-3
+    se = np.sqrt(np.diag(cov).max() / draws.shape[0])
+    np.testing.assert_allclose(draws.mean(0), mean_c, atol=6 * se)
+    # constrained covariance: C - C1 1'C / (1'C1)
+    cov_c = cov - np.outer(s1, s1) / s1.sum()
+    np.testing.assert_allclose(
+        np.cov(draws.T), cov_c, atol=0.08 * np.abs(cov_c).max() + 0.01
+    )
+
+
+def test_rsr_mvnorm_moments():
+    rng = np.random.default_rng(3)
+    n, qd = 30, 5
+    k_basis = np.linalg.qr(rng.normal(size=(n, qd)))[0]
+    q_rsr = np.eye(qd) * rng.uniform(1, 2, qd)
+    omega = rng.uniform(0.1, 0.3, n)
+    tau = 0.8
+    b = rng.normal(size=qd)
+    lam = tau * q_rsr + k_basis.T @ np.diag(omega) @ k_basis
+    cov = np.linalg.inv(lam)
+    mean = cov @ b
+
+    keys = jax.random.split(jax.random.key(7), 40_000)
+    draws = jax.vmap(
+        lambda k: rsr_mvnorm(
+            k, jnp.asarray(b, jnp.float32), jnp.asarray(omega, jnp.float32),
+            jnp.asarray(tau, jnp.float32), jnp.asarray(q_rsr, jnp.float32),
+            jnp.asarray(k_basis, jnp.float32),
+            jnp.asarray(psd_sqrt_factor(q_rsr), jnp.float32),
+        )
+    )(keys)
+    draws = np.asarray(draws, dtype=np.float64)
+    se = np.sqrt(np.diag(cov).max() / draws.shape[0])
+    np.testing.assert_allclose(draws.mean(0), mean, atol=6 * se)
+    np.testing.assert_allclose(
+        np.cov(draws.T), cov, atol=0.08 * np.abs(cov).max() + 0.01
+    )

@@ -1,0 +1,158 @@
+"""Sampler behavioral tests (mirrors reference
+gibbs/tests/test_samplers.py). All four samplers are exercised — including
+the probit ones the reference marks xfail (reference
+gibbs/tests/test_samplers.py:33)."""
+
+import numpy as np
+import pytest
+
+from occuspytial_tpu import (
+    LogitICARGibbs,
+    LogitRSRGibbs,
+    ProbitICARGibbs,
+    ProbitRSRGibbs,
+)
+from occuspytial_tpu.models.base import GibbsBase
+from occuspytial_tpu.utils import get_generator, make_data
+
+rng = get_generator(random_state=10)
+
+Q, W, X, y, alpha, beta, tau, z = make_data(
+    min_v=2, max_v=10, ns=100, p=3, q=2, tau_range=(0.25, 1.5),
+    random_state=10,
+)
+
+hypers = {
+    'tau_rate': 1.0,
+    'tau_shape': 5.0,
+    'a_mu': rng.random(2),
+    'b_mu': rng.random(3),
+    'a_prec': np.eye(2),
+    'b_prec': np.eye(3),
+}
+
+SAMPLERS = [LogitRSRGibbs, LogitICARGibbs, ProbitRSRGibbs, ProbitICARGibbs]
+
+parametrized_samplers = pytest.mark.parametrize('sampler_class', SAMPLERS)
+
+
+@parametrized_samplers
+def test_gibbs_samplers(sampler_class):
+    s = sampler_class(Q, W, X, y, random_state=10)
+    samples = s.sample(5, chains=1, progressbar=False)
+    assert samples['alpha'].shape == (1, 5, 2)
+    assert samples['beta'].shape == (1, 5, 3)
+    assert samples['tau'].shape == (1, 5)
+
+    # reproducibility through random_state
+    s = sampler_class(Q, W, X, y, random_state=10)
+    samples2 = s.sample(5, chains=1, progressbar=False)
+    assert np.allclose(samples2['alpha'], samples['alpha'])
+    assert np.allclose(samples2['beta'], samples['beta'])
+    assert np.allclose(samples2['tau'], samples['tau'])
+
+    # copy: same model, new stream
+    s_copy = s.copy()
+    assert isinstance(s_copy, sampler_class)
+    samples3 = s_copy.sample(5, chains=1, progressbar=False)
+    assert not np.allclose(samples3['alpha'], samples['alpha'])
+
+    with pytest.raises(ValueError, match='burnin value cannot be larger'):
+        s.sample(10, burnin=11)
+    samples = s.sample(10, burnin=3, chains=1, progressbar=False)
+    assert samples['alpha'].shape == (1, 7, 2)
+    assert samples['beta'].shape == (1, 7, 3)
+    assert samples['tau'].shape == (1, 7)
+
+    with pytest.raises(ValueError, match='chains must a positive integer'):
+        s.sample(10, chains=0)
+    samples = s.sample(5, chains=3, progressbar=False)
+    assert samples['alpha'].shape == (3, 5, 2)
+    assert samples['beta'].shape == (3, 5, 3)
+    assert samples['tau'].shape == (3, 5)
+    # chains differ from one another
+    assert not np.allclose(samples['alpha'][0], samples['alpha'][1])
+
+
+@parametrized_samplers
+def test_sampler_start_parameter(sampler_class):
+    kwargs = {}
+    if sampler_class in (LogitRSRGibbs, ProbitRSRGibbs):
+        kwargs['q'] = 10
+    s = sampler_class(Q, W, X, y, random_state=10, **kwargs)
+    eta_dim = getattr(s, 'q_dim', 150)
+    samples = s.sample(5, chains=1, progressbar=False)
+
+    start = {
+        'alpha': rng.random(2),
+        'beta': rng.random(3),
+        'tau': 2.0,
+        'eta': rng.random(eta_dim),
+        'eps': rng.standard_normal(150),
+    }
+    samples2 = s.sample(5, chains=1, start=start, progressbar=False)
+    assert not np.allclose(samples2['alpha'][0, 0], samples['alpha'][0, 0])
+    assert not np.allclose(samples2['beta'][0, 0], samples['beta'][0, 0])
+    assert not np.allclose(samples2['tau'][0, 0], samples['tau'][0, 0])
+
+
+@pytest.mark.parametrize('sampler_class', [LogitRSRGibbs, ProbitRSRGibbs])
+def test_rsr_sampler_threshold_parameter(sampler_class):
+    with pytest.raises(ValueError, match='Threshold value needs to be in'):
+        sampler_class(Q, W, X, y, r=1.1)
+
+
+@parametrized_samplers
+def test_hyperameter_input(sampler_class):
+    s1 = sampler_class(Q, W, X, y)
+    s2 = sampler_class(Q, W, X, y, hparams=hypers)
+
+    assert float(s1.fixed['tau_shape']) != float(s2.fixed['tau_shape'])
+    assert float(s1.fixed['tau_rate']) != float(s2.fixed['tau_rate'])
+    assert not np.allclose(s1.fixed['a_mu'], s2.fixed['a_mu'])
+    assert not np.allclose(s1.fixed['b_mu'], s2.fixed['b_mu'])
+    assert not np.allclose(s1.fixed['a_prec'], s2.fixed['a_prec'])
+    assert not np.allclose(s1.fixed['b_prec'], s2.fixed['b_prec'])
+
+
+@pytest.fixture
+def nonsingular_mat():
+    from scipy.sparse import rand
+
+    mat = rand(150, 150, density=0.9, format='csc', random_state=10)
+    return (mat.T * mat).tocsc()
+
+
+@parametrized_samplers
+def test_nonsingular_spatial_precision_matrix(sampler_class, nonsingular_mat):
+    with pytest.raises(ValueError, match='Spatial precision matrix Q must'):
+        sampler_class(nonsingular_mat, W, X, y)
+
+
+def test_sampler_with_no_step_method():
+    class FakeSampler(GibbsBase):
+        pass
+
+    msg = 'FakeSampler must implement a `_step` method.'
+    with pytest.raises(NotImplementedError, match=msg):
+        FakeSampler(Q, W, X, y).sample(5, progressbar=False)
+
+
+def test_progressbar_output(capfd):
+    s = LogitRSRGibbs(Q, W, X, y, random_state=1)
+    s.sample(10, chains=1)
+    captured = capfd.readouterr()
+    assert '10/10' in captured.err
+
+
+def test_turning_off_progressbar(capfd):
+    s = LogitRSRGibbs(Q, W, X, y, random_state=1)
+    s.sample(10, chains=1, progressbar=False)
+    captured = capfd.readouterr()
+    assert '10/10' not in captured.err
+
+
+def test_pg_gamma_method_runs():
+    s = LogitRSRGibbs(Q, W, X, y, random_state=3, pg_method='gamma')
+    samples = s.sample(5, chains=1, progressbar=False)
+    assert np.isfinite(samples['alpha']).all()
