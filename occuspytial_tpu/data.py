@@ -26,16 +26,29 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class OccupancyData:
-    """Padded, masked survey data (a pytree of device-ready arrays)."""
+    """Padded, masked survey data (a pytree of device-ready arrays).
 
-    W: jax.Array          # (n, v_max, n_alpha)
-    y: jax.Array          # (n, v_max)
-    visit_mask: jax.Array  # (n, v_max) bool
-    surveyed: jax.Array    # (n,) bool
-    obs: jax.Array         # (n,) bool
+    Detection arrays are *compact*: their leading axis covers only the
+    ``n_surveyed`` surveyed sites (dead unsurveyed rows would multiply the
+    per-iteration Pólya-Gamma / truncated-normal lane count for nothing);
+    ``site_idx`` maps each compact row back to its full-lattice site, and
+    scatters/gathers through it bridge the (n_surveyed, v_max) visit grid
+    and length-``n_sites`` site vectors.
+    """
+
+    W: jax.Array          # (n_surveyed, v_max, n_alpha)
+    y: jax.Array          # (n_surveyed, v_max)
+    visit_mask: jax.Array  # (n_surveyed, v_max) bool
+    site_idx: jax.Array    # (n_surveyed,) int32: compact row -> site
+    surveyed: jax.Array    # (n_sites,) bool
+    obs: jax.Array         # (n_sites,) bool
 
     @property
     def n_sites(self):
+        return self.surveyed.shape[0]
+
+    @property
+    def n_surveyed(self):
         return self.W.shape[0]
 
     @property
@@ -48,7 +61,11 @@ class OccupancyData:
 
     def visits(self):
         """Number of visits per site (0 for unsurveyed sites)."""
-        return np.asarray(self.visit_mask).sum(axis=1)
+        out = np.zeros(self.n_sites, dtype=np.int64)
+        out[np.asarray(self.site_idx)] = np.asarray(
+            self.visit_mask
+        ).sum(axis=1)
+        return out
 
 
 def pack_detection_data(W, y, n_sites, dtype=np.float32):
@@ -65,15 +82,17 @@ def pack_detection_data(W, y, n_sites, dtype=np.float32):
     if sites and (min(sites) < 0 or max(sites) >= n_sites):
         raise ValueError('site keys must lie in [0, n_sites)')
 
+    ns = len(sites)
     v_max = max((np.atleast_2d(W[s]).shape[0] for s in sites), default=1)
     n_alpha = np.atleast_2d(W[sites[0]]).shape[1] if sites else 1
 
-    w_pad = np.zeros((n_sites, v_max, n_alpha), dtype=dtype)
-    y_pad = np.zeros((n_sites, v_max), dtype=dtype)
-    mask = np.zeros((n_sites, v_max), dtype=bool)
+    w_pad = np.zeros((ns, v_max, n_alpha), dtype=dtype)
+    y_pad = np.zeros((ns, v_max), dtype=dtype)
+    mask = np.zeros((ns, v_max), dtype=bool)
+    site_idx = np.zeros(ns, dtype=np.int32)
     surveyed = np.zeros(n_sites, dtype=bool)
 
-    for s in sites:
+    for row, s in enumerate(sites):
         wi = np.atleast_2d(np.asarray(W[s], dtype=dtype))
         yi = np.atleast_1d(np.asarray(y[s], dtype=dtype))
         if wi.shape[0] != yi.shape[0]:
@@ -87,14 +106,17 @@ def pack_detection_data(W, y, n_sites, dtype=np.float32):
                 f'{wi.shape[1]}'
             )
         v = wi.shape[0]
-        w_pad[s, :v] = wi
-        y_pad[s, :v] = yi
-        mask[s, :v] = True
+        w_pad[row, :v] = wi
+        y_pad[row, :v] = yi
+        mask[row, :v] = True
+        site_idx[row] = s
         surveyed[s] = True
 
-    obs = (y_pad * mask).sum(axis=1) > 0
+    obs = np.zeros(n_sites, dtype=bool)
+    obs[site_idx] = (y_pad * mask).sum(axis=1) > 0
     return OccupancyData(
-        W=w_pad, y=y_pad, visit_mask=mask, surveyed=surveyed, obs=obs,
+        W=w_pad, y=y_pad, visit_mask=mask, site_idx=site_idx,
+        surveyed=surveyed, obs=obs,
     )
 
 

@@ -121,6 +121,7 @@ class GibbsBase:
         f['W'] = self.data.W
         f['y'] = self.data.y
         f['visit_mask'] = np.asarray(self.data.visit_mask, dtype=np.float64)
+        f['site_idx'] = np.asarray(self.data.site_idx)
         f['surveyed'] = np.asarray(self.data.surveyed)
         f['obs'] = np.asarray(self.data.obs, dtype=np.float64)
 

@@ -24,15 +24,22 @@ omega_b -> tau -> eta -> beta -> omega_a -> alpha -> z.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import icar
 from ..ops.mvnorm import (
     constrained_icar_mvnorm,
+    constrained_icar_mvnorm_cg,
     precision_mvnorm,
     rsr_mvnorm,
 )
 from ..ops.polyagamma import pg_devroye, pg_gamma
 from .base import GibbsBase
+
+#: below this site count the dense Cholesky eta draw wins; above it the
+#: warm-started CG draw does (batched matmuls on the MXU instead of the
+#: sequential batched factorization)
+_CG_AUTO_THRESHOLD = 512
 
 
 class LogitICARGibbs(GibbsBase):
@@ -43,33 +50,61 @@ class LogitICARGibbs(GibbsBase):
 
     TPU extras: ``pg_method`` selects the Pólya-Gamma sampler
     ('devroye' = exact rejection, 'gamma' = truncated-series with exact
-    tail-mean correction; both vectorized, see ops/polyagamma.py).
+    tail-mean correction; both vectorized, see ops/polyagamma.py);
+    ``solver`` selects the eta linear solver ('chol' = exact dense
+    Cholesky, 'cg' = warm-started spectrally-preconditioned CG — the TPU
+    analog of the reference's warm-started MINRES, gibbs/logit.py:80-92,
+    running entirely on MXU matmuls; None = automatic by problem size)
+    and ``cg_iters`` its fixed iteration budget.
     """
 
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
-        dtype=jnp.float32, pg_method='devroye',
+        dtype=jnp.float32, pg_method='devroye', solver=None, cg_iters=15,
     ):
         if pg_method not in ('devroye', 'gamma'):
             raise ValueError(f'unknown PG sampling method: {pg_method!r}')
+        if solver not in (None, 'chol', 'cg'):
+            raise ValueError(f'unknown eta solver: {solver!r}')
         self.pg_method = pg_method
+        n_sites = np.asarray(X).shape[0]
+        self.solver = solver or (
+            'cg' if n_sites >= _CG_AUTO_THRESHOLD else 'chol'
+        )
+        self.cg_iters = int(cg_iters)
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
         )
 
     def _static_config(self):
-        return super()._static_config() + (('pg_method', self.pg_method),)
+        return super()._static_config() + (
+            ('pg_method', self.pg_method),
+            ('solver', self.solver),
+            ('cg_iters', self.cg_iters),
+        )
 
     def _configure(self, Q, x_np, hparams):
         super()._configure(Q, x_np, hparams)
-        # one-time dense eigenfactor of the singular ICAR precision
-        # (reference gibbs/logit.py:64-67)
-        self.fixed['sqrt_factor'] = icar.icar_sqrt_factor(self.fixed['Q'])
+        # one-time dense eigendecomposition of the singular ICAR precision
+        # (reference gibbs/logit.py:64-67); also powers the spectral CG
+        # preconditioner when solver='cg'
+        s_eig, u_eig, sqrt_factor = icar.icar_spectral(self.fixed['Q'])
+        self.fixed['sqrt_factor'] = sqrt_factor
+        if self.solver == 'cg':
+            self.fixed['q_eigvals'] = s_eig
+            self.fixed['q_eigvecs'] = u_eig
 
     def _pg(self, key, z):
         if self.pg_method == 'gamma':
             return pg_gamma(key, z)
         return pg_devroye(key, z)
+
+    def _init_state(self, key, fixed):
+        state = self._init_common(key, fixed)
+        if self.solver == 'cg':
+            # CG warm-start carries: [Lambda^-1 y, Lambda^-1 1] solutions
+            state['eta_warm'] = jnp.zeros((2, self.n), self.dtype)
+        return state
 
     # -------------------------- update segments ----------------------- #
 
@@ -83,9 +118,17 @@ class LogitICARGibbs(GibbsBase):
         """Constrained ICAR draw (reference gibbs/logit.py:211-217)."""
         xb = fixed['X'] @ state['beta']
         b = state['k'] - omega_b * xb
-        eta = constrained_icar_mvnorm(
-            key, b, omega_b, tau, fixed['Q'], fixed['sqrt_factor']
-        )
+        if self.solver == 'cg':
+            eta, warm = constrained_icar_mvnorm_cg(
+                key, b, omega_b, tau, fixed['Q'], fixed['sqrt_factor'],
+                fixed['q_eigvecs'], fixed['q_eigvals'],
+                state['eta_warm'], self.cg_iters,
+            )
+            state['eta_warm'] = warm
+        else:
+            eta = constrained_icar_mvnorm(
+                key, b, omega_b, tau, fixed['Q'], fixed['sqrt_factor']
+            )
         return eta, eta  # (eta, spatial)
 
     def _update_beta(self, key, state, omega_b, spatial, fixed):
@@ -100,16 +143,18 @@ class LogitICARGibbs(GibbsBase):
 
         Masked-dense version of reference gibbs/logit.py:180-193, 219-224:
         the dynamic ``exists`` site list becomes the weight
-        ``visit_mask * z`` and the stacked-design-matrix products become
-        one (n*v_max, n_alpha) matmul on the MXU.
+        ``visit_mask * z[site_idx]`` over the compact (n_surveyed, v_max)
+        visit grid and the stacked-design-matrix products become one
+        (n_surveyed*v_max, n_alpha) matmul on the MXU.
         """
-        w = fixed['W']  # (n, v, qa)
-        n, v, qa = w.shape
-        wt = fixed['visit_mask'] * state['z'][:, None]  # (n, v)
-        wf = w.reshape(n * v, qa)
-        cw = (wt * omega_a).reshape(n * v, 1)
+        w = fixed['W']  # (ns, v, qa)
+        ns, v, qa = w.shape
+        z_s = state['z'][fixed['site_idx']]
+        wt = fixed['visit_mask'] * z_s[:, None]  # (ns, v)
+        wf = w.reshape(ns * v, qa)
+        cw = (wt * omega_a).reshape(ns * v, 1)
         a = wf.T @ (cw * wf) + fixed['a_prec']
-        resid = (wt * (fixed['y'] - 0.5)).reshape(n * v)
+        resid = (wt * (fixed['y'] - 0.5)).reshape(ns * v)
         b = wf.T @ resid + fixed['a_prec_by_mu']
         return precision_mvnorm(key, b, a)
 
@@ -124,9 +169,14 @@ class LogitICARGibbs(GibbsBase):
         """
         logit_psi = fixed['X'] @ beta + spatial
         num1 = jax.nn.sigmoid(logit_psi)
-        # log prod_v sigmoid(-w_v @ alpha) = -sum_v softplus(w_v @ alpha)
+        # log prod_v sigmoid(-w_v @ alpha) = -sum_v softplus(w_v @ alpha),
+        # computed on the compact visit grid then scattered to full sites
+        # (unsurveyed sites get 0 = empty product)
         lin_a = jnp.einsum('nvq,q->nv', fixed['W'], alpha)
-        log_prod = -(fixed['visit_mask'] * jax.nn.softplus(lin_a)).sum(1)
+        log_prod_s = -(fixed['visit_mask'] * jax.nn.softplus(lin_a)).sum(1)
+        log_prod = jnp.zeros(self.n, log_prod_s.dtype).at[
+            fixed['site_idx']
+        ].set(log_prod_s)
         num = num1 * jnp.exp(log_prod)
         p = num / ((1.0 - num1) + num)
         draw = (

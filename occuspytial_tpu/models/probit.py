@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from jax.scipy.special import log_ndtr, ndtr
 
 from ..ops import icar
-from ..ops.mvnorm import constrained_icar_mvnorm, precision_mvnorm
+from ..ops.mvnorm import (
+    constrained_icar_mvnorm_unit,
+    precision_mvnorm,
+)
 from ..ops.truncnorm import truncnorm_sign
 from .base import GibbsBase
 
@@ -83,12 +86,13 @@ class _ProbitBase(GibbsBase):
         """alpha ~ MVN with precision W'W + a_prec over occupied sites
         (reference gibbs/probit.py:231-235), masked-dense."""
         w = fixed['W']
-        n, v, qa = w.shape
-        wt = fixed['visit_mask'] * state['z'][:, None]
-        wf = w.reshape(n * v, qa)
-        cw = wt.reshape(n * v, 1)
+        ns, v, qa = w.shape
+        z_s = state['z'][fixed['site_idx']]
+        wt = fixed['visit_mask'] * z_s[:, None]
+        wf = w.reshape(ns * v, qa)
+        cw = wt.reshape(ns * v, 1)
         a = wf.T @ (cw * wf) + fixed['a_prec']
-        b = fixed['a_prec_by_mu'] + wf.T @ (wt * omega_a).reshape(n * v)
+        b = fixed['a_prec_by_mu'] + wf.T @ (wt * omega_a).reshape(ns * v)
         return precision_mvnorm(key, b, a)
 
     def _update_z(self, key, state, fixed):
@@ -100,8 +104,12 @@ class _ProbitBase(GibbsBase):
         lin = fixed['X'] @ state['beta'] + state['spatial'] + state['eps']
         num1 = ndtr(lin)
         lin_a = jnp.einsum('nvq,q->nv', fixed['W'], state['alpha'])
-        # prod_v (1 - Phi(w_v a)) = exp(sum_v log Phi(-w_v a)), masked
-        log_prod = (fixed['visit_mask'] * log_ndtr(-lin_a)).sum(1)
+        # prod_v (1 - Phi(w_v a)) = exp(sum_v log Phi(-w_v a)), masked on
+        # the compact grid then scattered to full sites
+        log_prod_s = (fixed['visit_mask'] * log_ndtr(-lin_a)).sum(1)
+        log_prod = jnp.zeros(self.n, log_prod_s.dtype).at[
+            fixed['site_idx']
+        ].set(log_prod_s)
         num = num1 * jnp.exp(log_prod)
         p = num / ((1.0 - num1) + num)
         draw = (
@@ -202,15 +210,19 @@ class ProbitICARGibbs(_ProbitBase):
     Rebuild addition (no reference counterpart): eta keeps all n
     dimensions with conditional precision ``tau*Q + I`` restricted to the
     sum-to-zero hyperplane — the probit analog of
-    reference gibbs/logit.py:16-99, reusing the same constrained
-    Cholesky draw.
+    reference gibbs/logit.py:16-99. Because the latent-utility noise is
+    exactly unit-variance, ``Lambda`` is diagonal in Q's eigenbasis and
+    the draw is a closed-form spectral transform (no factorization or
+    iterative solve; see ops/mvnorm.py:constrained_icar_mvnorm_unit).
     """
 
     def _configure(self, Q, x_np, hparams):
         super()._configure(Q, x_np, hparams)
         f = self.fixed
         f['XTX_plus_bprec'] = x_np.T @ x_np + f['b_prec']
-        f['sqrt_factor'] = icar.icar_sqrt_factor(f['Q'])
+        s_eig, u_eig, _ = icar.icar_spectral(f['Q'])
+        f['q_eigvals'] = s_eig
+        f['q_eigvecs'] = u_eig
 
     def _update_tau(self, key, eta, fixed):
         rate = 0.5 * eta @ (fixed['Q'] @ eta) + fixed['tau_rate']
@@ -218,8 +230,7 @@ class ProbitICARGibbs(_ProbitBase):
 
     def _update_eta(self, key, state, omega_b, tau, fixed):
         b = omega_b - fixed['X'] @ state['beta'] - state['eps']
-        eta = constrained_icar_mvnorm(
-            key, b, jnp.ones(self.n, self.dtype), tau, fixed['Q'],
-            fixed['sqrt_factor'],
+        eta = constrained_icar_mvnorm_unit(
+            key, b, tau, fixed['q_eigvecs'], fixed['q_eigvals'],
         )
         return eta, eta

@@ -1,0 +1,85 @@
+"""Batched preconditioned conjugate-gradient solver for the eta draw.
+
+The reference solves its per-iteration SPD system ``Lambda x = y``
+(``Lambda = tau*Q + diag(omega)``) with a warm-started MINRES on a sparse
+block system (reference gibbs/logit.py:80-92). The TPU analog keeps the
+warm start but expresses every matvec as a dense batched matmul — a
+(rhs, n) x (n, n) contraction that runs on the MXU — and preconditions
+*spectrally*: with the one-time eigendecomposition ``Q = U S U'`` (already
+computed for the perturbation sqrt-factor, reference gibbs/logit.py:66-67)
+the preconditioner ``M = tau*Q + mean(omega)*I`` is applied exactly as
+
+    M^{-1} r = U ((U' r) / (tau*S + mean(omega)))
+
+i.e. two more MXU matmuls per iteration. The preconditioned operator is
+``I + (D(omega) - mean(omega) I) M^{-1}``, whose condition number is
+bounded by roughly ``max(omega)/min(omega)`` *independently of tau and
+n* — CG converges in ~15-25 iterations to far below float32 resolution.
+
+A *fixed* iteration count keeps the program shape-static and the per-step
+cost deterministic (no data-dependent while loop in the hot path);
+accuracy at the default budget is validated in tests against the exact
+dense-Cholesky draw with identical random inputs.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def pcg(matvec, precond, b, x0, iters):
+    """Preconditioned CG: solve ``A x = b`` for each row of ``b``.
+
+    Shapes: ``b``/``x0`` are (..., n); ``matvec``/``precond`` map
+    (..., n) -> (..., n). Runs exactly ``iters`` iterations (static), with
+    denominators clamped so converged systems stay frozen.
+    """
+    tiny = jnp.asarray(1e-30, b.dtype)
+
+    # a while_loop (dynamic trip count) rather than fori_loop: the XLA TPU
+    # backend aggressively unrolls counted loops nested inside the outer
+    # sampling scan, which explodes compile time; a while loop compiles
+    # its body exactly once.
+    def cond(carry):
+        return carry[0] < iters
+
+    def body(carry):
+        k, x, r, p, rz = carry
+        ap = matvec(p)
+        denom = jnp.sum(p * ap, axis=-1, keepdims=True)
+        alpha = rz / jnp.maximum(denom, tiny)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=-1, keepdims=True)
+        beta = rz_new / jnp.maximum(rz, tiny)
+        p = z + beta * p
+        return k + 1, x, r, p, rz_new
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0, axis=-1, keepdims=True)
+    _, x, _, _, _ = lax.while_loop(
+        cond, body, (jnp.asarray(0), x0, r0, z0, rz0)
+    )
+    return x
+
+
+def icar_cg_solve(rhs, x0, omega, tau, q_dense, eigvecs, eigvals, iters):
+    """Solve ``(tau*Q + diag(omega)) x = rhs`` for stacked right-hand sides.
+
+    ``rhs``/``x0``: (r, n); ``omega``: (n,); ``tau``: scalar;
+    ``eigvecs``/``eigvals``: one-time eigendecomposition of Q. All three
+    matmuls per iteration (operator + two-sided preconditioner transform)
+    are plain (r, n) x (n, n) contractions; vmapping over chains batches
+    them into single MXU calls.
+    """
+    cbar = jnp.mean(omega)
+    pinv = 1.0 / (tau * eigvals + cbar)
+
+    def matvec(v):
+        return tau * (v @ q_dense) + omega * v
+
+    def precond(r):
+        return ((r @ eigvecs) * pinv) @ eigvecs.T
+
+    return pcg(matvec, precond, rhs, x0, iters)

@@ -89,15 +89,23 @@ def verify_spatial_precision(q):
         raise ValueError('Spatial precision matrix Q must be singular.')
 
 
-def icar_sqrt_factor(q_dense):
-    """Eigenfactor B (n, n-1) with B B' = Q for the singular ICAR precision.
+def icar_spectral(q_dense):
+    """One-time eigendecomposition bundle for the singular ICAR precision.
 
-    Drops the (theoretically zero) smallest eigenvalue, exactly as
-    reference gibbs/logit.py:66-67 does with ``u[:, 1:] * sqrt(s[1:])``.
+    Returns ``(eigvals, eigvecs, sqrt_factor)`` where eigvals are clipped
+    nonnegative and ``sqrt_factor = U[:, 1:] * sqrt(s[1:])`` drops the
+    (theoretically zero) smallest eigenvalue, exactly as reference
+    gibbs/logit.py:66-67. The full (s, U) pair additionally powers the
+    spectral CG preconditioner (ops/cg.py).
     """
     s, u = np.linalg.eigh(q_dense)
     s = np.clip(s, 0.0, None)
-    return u[:, 1:] * np.sqrt(s[1:])
+    return s, u, u[:, 1:] * np.sqrt(s[1:])
+
+
+def icar_sqrt_factor(q_dense):
+    """Eigenfactor B (n, n-1) with B B' = Q for the singular ICAR precision."""
+    return icar_spectral(q_dense)[2]
 
 
 def psd_sqrt_factor(q_dense):

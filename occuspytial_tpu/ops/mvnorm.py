@@ -72,6 +72,60 @@ def constrained_icar_mvnorm(key, b, omega, tau, q_dense, sqrt_factor):
     return sum_to_zero(sol[:, 0], sol[:, 1])
 
 
+def constrained_icar_mvnorm_cg(
+    key, b, omega, tau, q_dense, sqrt_factor, eigvecs, eigvals, warm,
+    iters,
+):
+    """CG variant of :func:`constrained_icar_mvnorm` with warm starts.
+
+    Same distribution, but the two solves run through the batched
+    spectrally-preconditioned CG of :mod:`occuspytial_tpu.ops.cg` seeded
+    from ``warm`` (a (2, n) stack of the previous iteration's solutions) —
+    the TPU translation of the reference's warm-started MINRES
+    (gibbs/logit.py:80-92). Returns ``(eta, new_warm)`` so the sampler can
+    carry the solutions forward.
+    """
+    from .cg import icar_cg_solve
+
+    n = b.shape[0]
+    k1, k2 = jax.random.split(key)
+    eps1 = jax.random.normal(k1, (n,), b.dtype)
+    eps2 = jax.random.normal(k2, (sqrt_factor.shape[1],), b.dtype)
+    y = b + jnp.sqrt(omega) * eps1 + jnp.sqrt(tau) * (sqrt_factor @ eps2)
+
+    rhs = jnp.stack([y, jnp.ones_like(y)])  # (2, n)
+    sol = icar_cg_solve(
+        rhs, warm, omega, tau, q_dense, eigvecs, eigvals, iters
+    )
+    return sum_to_zero(sol[0], sol[1]), sol
+
+
+def constrained_icar_mvnorm_unit(key, b, tau, eigvecs, eigvals):
+    """Constrained draw for the unit-noise case ``Lambda = tau*Q + I``.
+
+    With omega identically 1 (the probit ICAR eta conditional), Lambda is
+    exactly diagonal in Q's eigenbasis, so both solves and the
+    perturbation are closed-form spectral transforms — no factorization,
+    no iteration:
+
+        y' = U'b + eps1' + sqrt(tau*s) * eps2'   (eps' standard normal in
+                                                  the eigenbasis)
+        x  = U (y' / (tau*s + 1)),  z = U (U'1 / (tau*s + 1))
+
+    followed by the kriging projection. The singular direction (s=0) is
+    retained with unit precision from the identity term; the projection
+    then removes the constraint component exactly.
+    """
+    n = b.shape[0]
+    eps = jax.random.normal(key, (n,), b.dtype)
+    d = tau * eigvals + 1.0
+    y_spec = (b @ eigvecs) + jnp.sqrt(d) * eps
+    x = (y_spec / d) @ eigvecs.T
+    ones_spec = jnp.sum(eigvecs, axis=0)  # U' 1
+    z = (ones_spec / d) @ eigvecs.T
+    return sum_to_zero(x, z)
+
+
 def rsr_mvnorm(key, b, omega, tau, q_rsr, k_basis, sqrt_factor):
     """Draw the RSR eta (q,) from N(Lambda^{-1} b, Lambda^{-1}).
 

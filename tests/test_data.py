@@ -19,9 +19,11 @@ def _toy():
 def test_pack_shapes_and_masks():
     W, y = _toy()
     d = pack_detection_data(W, y, n_sites=4)
-    assert d.W.shape == (4, 3, 2)
-    assert d.y.shape == (4, 3)
-    assert d.visit_mask.shape == (4, 3)
+    # compact layout: detection arrays cover only the 2 surveyed sites
+    assert d.W.shape == (2, 3, 2)
+    assert d.y.shape == (2, 3)
+    assert d.visit_mask.shape == (2, 3)
+    np.testing.assert_array_equal(np.asarray(d.site_idx), [0, 2])
     np.testing.assert_array_equal(
         np.asarray(d.surveyed), [True, False, True, False]
     )
@@ -29,11 +31,11 @@ def test_pack_shapes_and_masks():
         np.asarray(d.obs), [True, False, False, False]
     )
     np.testing.assert_array_equal(d.visits(), [3, 0, 2, 0])
-    # padded cells are zero
-    assert float(np.asarray(d.W)[2, 2].sum()) == 0.0
-    assert float(np.asarray(d.W)[1].sum()) == 0.0
+    # padded visit cells are zero
+    assert float(np.asarray(d.W)[1, 2].sum()) == 0.0
     # real cells round-trip
     np.testing.assert_array_equal(np.asarray(d.W)[0, :3], W[0])
+    np.testing.assert_array_equal(np.asarray(d.W)[1, :2], W[2])
 
 
 def test_pack_errors():

@@ -10,12 +10,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from occuspytial_tpu.ops.icar import (
+    icar_spectral,
     icar_sqrt_factor,
     lattice_precision,
     psd_sqrt_factor,
 )
 from occuspytial_tpu.ops.mvnorm import (
     constrained_icar_mvnorm,
+    constrained_icar_mvnorm_cg,
+    constrained_icar_mvnorm_unit,
     precision_mvnorm,
     rsr_mvnorm,
     sum_to_zero,
@@ -104,6 +107,72 @@ def test_constrained_icar_moments():
     np.testing.assert_allclose(draws.mean(0), mean_c, atol=6 * se)
     # constrained covariance: C - C1 1'C / (1'C1)
     cov_c = cov - np.outer(s1, s1) / s1.sum()
+    np.testing.assert_allclose(
+        np.cov(draws.T), cov_c, atol=0.08 * np.abs(cov_c).max() + 0.01
+    )
+
+
+def test_cg_draw_matches_cholesky_draw():
+    """Identical random inputs => the CG draw must reproduce the exact
+    Cholesky draw to solver tolerance (deterministic comparison, no MC)."""
+    rng = np.random.default_rng(7)
+    q = np.asarray(
+        lattice_precision(8, 10, 8).todense(), dtype=np.float64
+    )
+    n = q.shape[0]
+    s_eig, u_eig, sf = icar_spectral(q)
+    omega = jnp.asarray(rng.uniform(0.02, 0.25, n), jnp.float32)
+    tau = jnp.asarray(5.3, jnp.float32)
+    b = jnp.asarray(rng.normal(size=n), jnp.float32)
+    args = (
+        jnp.asarray(q, jnp.float32), jnp.asarray(sf, jnp.float32),
+    )
+    key = jax.random.key(3)
+    exact = constrained_icar_mvnorm(key, b, omega, tau, *args)
+    warm = jnp.zeros((2, n), jnp.float32)
+    approx, warm_out = constrained_icar_mvnorm_cg(
+        key, b, omega, tau, args[0], args[1],
+        jnp.asarray(u_eig, jnp.float32), jnp.asarray(s_eig, jnp.float32),
+        warm, 15,
+    )
+    assert abs(float(approx.sum())) < 1e-3
+    scale = float(jnp.abs(exact).max())
+    np.testing.assert_allclose(
+        np.asarray(approx), np.asarray(exact), atol=0.02 * scale
+    )
+    assert warm_out.shape == (2, n)
+
+
+def test_unit_spectral_draw_moments():
+    """tau*Q + I case: closed-form spectral draw matches the constrained
+    moments."""
+    rng = np.random.default_rng(8)
+    q = np.asarray(
+        lattice_precision(4, 4, 4).todense(), dtype=np.float64
+    )
+    n = q.shape[0]
+    s_eig, u_eig, _ = icar_spectral(q)
+    tau = 1.3
+    b = rng.normal(size=n)
+    lam = tau * q + np.eye(n)
+    cov = np.linalg.inv(lam)
+    m = cov @ b
+    s1 = cov @ np.ones(n)
+    mean_c = m - s1 * (m.sum() / s1.sum())
+    cov_c = cov - np.outer(s1, s1) / s1.sum()
+
+    keys = jax.random.split(jax.random.key(9), 40_000)
+    draws = jax.vmap(
+        lambda k: constrained_icar_mvnorm_unit(
+            k, jnp.asarray(b, jnp.float32), jnp.asarray(tau, jnp.float32),
+            jnp.asarray(u_eig, jnp.float32),
+            jnp.asarray(s_eig, jnp.float32),
+        )
+    )(keys)
+    draws = np.asarray(draws, dtype=np.float64)
+    assert np.abs(draws.sum(1)).max() < 1e-3
+    se = np.sqrt(np.diag(cov).max() / draws.shape[0])
+    np.testing.assert_allclose(draws.mean(0), mean_c, atol=6 * se)
     np.testing.assert_allclose(
         np.cov(draws.T), cov_c, atol=0.08 * np.abs(cov_c).max() + 0.01
     )

@@ -1,0 +1,62 @@
+"""Statistical parity: TPU sampler vs reference-equivalent CPU floor.
+
+BASELINE.md's numerical acceptance is posterior-mean agreement with the
+reference algorithm within Monte-Carlo tolerance. The reference itself
+cannot run in this image, so the comparison target is the faithful numpy
+implementation of its algorithm (benchmarks/reference_floor.py) — same
+update order, same conditionals, independent code path.
+
+The tolerance is a two-sample z-test per scalar parameter: the absolute
+difference in posterior means must be below ``Z * sqrt(mcse_a^2 +
+mcse_b^2)`` with a generous Z (MCMC mean estimates are noisy and the two
+samplers use unrelated RNG streams).
+"""
+
+import numpy as np
+import pytest
+
+from benchmarks.reference_floor import NumpyLogitICAR
+from occuspytial_tpu import LogitICARGibbs
+from occuspytial_tpu import diagnostics as dg
+from occuspytial_tpu.utils import make_data
+
+SIZE, BURNIN, CHAINS = 1500, 500, 4
+Z_TOL = 6.0
+
+
+@pytest.fixture(scope='module')
+def dataset():
+    return make_data(
+        n=150, ns=100, p=3, q=2, min_v=2, max_v=10, random_state=10
+    )
+
+
+def _mean_and_mcse(arr):
+    """arr: (chains, draws) -> (mean, mcse of the mean)."""
+    ess = dg.ess_mean(arr)
+    if not np.isfinite(ess) or ess < 10:
+        ess = 10.0
+    return arr.mean(), arr.std(ddof=1) / np.sqrt(ess)
+
+
+@pytest.mark.slow
+def test_logit_icar_posterior_means_match_floor(dataset):
+    Q, W, X, y, alpha, beta, tau, z = dataset
+
+    floor = NumpyLogitICAR(Q, W, X, y, random_state=3)
+    out_floor = floor.run(SIZE, burnin=BURNIN)
+
+    s = LogitICARGibbs(Q, W, X, y, random_state=4)
+    post = s.sample(SIZE, burnin=BURNIN, chains=CHAINS, progressbar=False)
+
+    for name, dim in (('alpha', 2), ('beta', 3)):
+        for j in range(dim):
+            ours = post[name][:, :, j]
+            theirs = out_floor[name][None, :, j]
+            m1, se1 = _mean_and_mcse(ours)
+            m2, se2 = _mean_and_mcse(theirs)
+            tol = Z_TOL * np.sqrt(se1**2 + se2**2)
+            assert abs(m1 - m2) < max(tol, 0.05), (
+                f'{name}[{j}]: tpu {m1:.4f} vs floor {m2:.4f} '
+                f'(tol {tol:.4f})'
+            )
