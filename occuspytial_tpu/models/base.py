@@ -81,6 +81,11 @@ class GibbsBase:
     #: served by repeats of this one executable (see ``sample``)
     scan_chunk = 64
 
+    #: jax PRNG implementation for the sampler's random stream; set the
+    #: instance attribute to override. 'rbg' is substantially faster on
+    #: TPU; 'threefry2x32' (jax default) gives cross-backend determinism.
+    rng_impl = 'threefry2x32'
+
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32,
@@ -163,6 +168,7 @@ class GibbsBase:
             ('n_beta', self.n_beta),
             ('max_visits', self.max_visits),
             ('posterior_names', self.posterior_names),
+            ('rng_impl', self.rng_impl),
         )
 
     # ------------------------------------------------------------------ #
@@ -274,7 +280,7 @@ class GibbsBase:
 
         run, init = _get_runner(type(self), self._static_config())
 
-        root = jax.random.key(self._seed)
+        root = jax.random.key(self._seed, impl=self.rng_impl)
         init_keys = jax.random.split(jax.random.fold_in(root, 1), chains)
         run_keys = jax.random.split(jax.random.fold_in(root, 2), chains)
 

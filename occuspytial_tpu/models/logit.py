@@ -50,7 +50,8 @@ class LogitICARGibbs(GibbsBase):
 
     TPU extras: ``pg_method`` selects the Pólya-Gamma sampler
     ('devroye' = exact rejection, 'gamma' = truncated-series with exact
-    tail-mean correction; both vectorized, see ops/polyagamma.py);
+    tail-mean correction, 'pallas' = exact rejection as a fused on-core
+    TPU kernel — fastest on TPU; see ops/polyagamma.py, ops/pallas_pg.py);
     ``solver`` selects the eta linear solver ('chol' = exact dense
     Cholesky, 'cg' = warm-started spectrally-preconditioned CG — the TPU
     analog of the reference's warm-started MINRES, gibbs/logit.py:80-92,
@@ -60,9 +61,14 @@ class LogitICARGibbs(GibbsBase):
 
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
-        dtype=jnp.float32, pg_method='devroye', solver=None, cg_iters=15,
+        dtype=jnp.float32, pg_method=None, solver=None, cg_iters=15,
     ):
-        if pg_method not in ('devroye', 'gamma'):
+        if pg_method is None:
+            # fused on-core kernel on TPU; portable sampler elsewhere
+            pg_method = (
+                'pallas' if jax.default_backend() == 'tpu' else 'devroye'
+            )
+        if pg_method not in ('devroye', 'gamma', 'pallas'):
             raise ValueError(f'unknown PG sampling method: {pg_method!r}')
         if solver not in (None, 'chol', 'cg'):
             raise ValueError(f'unknown eta solver: {solver!r}')
@@ -97,6 +103,10 @@ class LogitICARGibbs(GibbsBase):
     def _pg(self, key, z):
         if self.pg_method == 'gamma':
             return pg_gamma(key, z)
+        if self.pg_method == 'pallas':
+            from ..ops.pallas_pg import pg_devroye_pallas
+
+            return pg_devroye_pallas(key, z)
         return pg_devroye(key, z)
 
     def _init_state(self, key, fixed):

@@ -1,0 +1,234 @@
+"""Pólya-Gamma PG(1, z) sampling as a fused Pallas TPU kernel.
+
+The pure-JAX Devroye sampler (ops/polyagamma.py) is exact but its masked
+resampling rounds execute as ~50 separate XLA ops per round with threefry
+RNG — at ~20 rounds per draw this dominates the Gibbs step. This kernel
+fuses the entire rejection loop into one Pallas program per (rows, 128)
+tile: random bits come from the on-core PRNG (``pltpu.prng_random_bits``),
+every round is pure VPU arithmetic on VMEM-resident tiles, and nothing
+round-trips through HBM until the accepted draws are written out.
+
+The z-dependent mixture quantities (|z|/2, the exponential-piece rate and
+the tail/body mixture weight, which need ``log_ndtr``) are precomputed in
+XLA and passed in as tiles; the kernel implements the proposal rounds and
+the alternating-series acceptance test with the same sticky-branch
+semantics as the JAX sampler (see ops/polyagamma.py for the derivation
+and the bias analysis of branch re-flipping).
+
+Randomness: each grid block seeds the core PRNG with a per-block seed row
+derived from the caller's jax PRNG key (all batched chains' key material
+is mixed in), so draws are reproducible for a fixed key and independent
+across blocks, iterations and runs. Lanes within a block draw independent
+bits from the block stream.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .polyagamma import _T, _mass_texpon
+
+_LANES = 128
+_BLOCK_R = 256          # rows per grid block (256x128 = 32768 lanes)
+_MAX_ROUNDS = 64
+_N_SERIES = 8
+_GOLD = jnp.int32(-1640531527)  # 2654435761 mod 2^32 (Fibonacci hashing)
+
+
+def _uniform(shape):
+    """Uniform in (0, 1) from on-core random bits (mantissa trick)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    # (0,1]: 1+eps .. 2 minus one, then flip to avoid exact zero for logs
+    return 1.0 - (f - 1.0)
+
+
+def _pg_kernel(seeds_ref, c_ref, ratio_ref, kexp_ref, out_ref):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[i, 0], seeds_ref[i, 1])
+
+    c = c_ref[:]
+    ratio = ratio_ref[:]
+    k_exp = kexp_ref[:]
+    shape = c.shape
+    use_squeeze = c < (1.0 / _T)
+    mu = 1.0 / jnp.maximum(c, 1e-30)
+    half_csq = 0.5 * c * c
+
+    def series_accept(x, v):
+        small = x <= _T
+        log_small_base = 1.5 * jnp.log(2.0 / (jnp.pi * x))
+
+        def a_n(n):
+            np5 = n + 0.5
+            expo = jnp.where(
+                small,
+                log_small_base - 2.0 * np5 * np5 / x,
+                -np5 * np5 * (jnp.pi * jnp.pi / 2.0) * x,
+            )
+            return jnp.pi * np5 * jnp.exp(expo)
+
+        s = a_n(0.0)
+        y = v * s
+        accepted = jnp.zeros(shape, jnp.bool_)
+        rejected = jnp.zeros(shape, jnp.bool_)
+        for n in range(1, _N_SERIES + 1):
+            term = a_n(float(n))
+            if n % 2 == 1:
+                s = s - term
+                accepted = accepted | ((~rejected) & (y <= s))
+            else:
+                s = s + term
+                rejected = rejected | ((~accepted) & (y > s))
+        return accepted | ~(accepted | rejected)
+
+    # mask carriers are float32 (1.0/0.0): Mosaic cannot lower selects
+    # between i1 vectors
+    def cond(carry):
+        k, _, done, _, _ = carry
+        return (k < _MAX_ROUNDS) & (jnp.min(done) < 0.5)
+
+    def body(carry):
+        k, x, done, committed, is_exp = carry
+        u = _uniform(shape)
+        is_exp = jnp.where(
+            committed > 0.5, is_exp, (u < ratio).astype(jnp.float32)
+        )
+
+        # branch A: exponential tail on (t, inf)
+        e_tail = -jnp.log(_uniform(shape))
+        x_exp = _T + e_tail / k_exp
+
+        # branch B1: squeeze sampler for the tIG body (c < 1/t)
+        e1 = -jnp.log(_uniform(shape))
+        e2 = -jnp.log(_uniform(shape))
+        ok_sq = e1 * e1 <= 2.0 * e2 / _T
+        x_sq = _T / ((1.0 + _T * e1) ** 2)
+        ok_sq = ok_sq & (_uniform(shape) < jnp.exp(-x_sq * half_csq))
+
+        # branch B2: Michael-Schucany-Haas IG transform (c >= 1/t),
+        # chi-square variate via Box-Muller
+        u1 = _uniform(shape)
+        u2 = _uniform(shape)
+        nrm = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+            (2.0 * jnp.pi) * u2
+        )
+        y0 = nrm * nrm
+        mu_y = mu * y0
+        x_ig = mu + 0.5 * mu * (mu_y - jnp.sqrt(4.0 * mu_y + mu_y * mu_y))
+        flip = _uniform(shape) > mu / (mu + x_ig)
+        x_ig = jnp.where(flip, mu * mu / x_ig, x_ig)
+        ok_ig = x_ig <= _T
+
+        x_body = jnp.where(use_squeeze, x_sq, x_ig)
+        ok_body = jnp.where(
+            use_squeeze, ok_sq.astype(jnp.float32),
+            ok_ig.astype(jnp.float32),
+        )
+        exp_mask = is_exp > 0.5
+        x_new = jnp.where(exp_mask, x_exp, x_body)
+        valid = jnp.maximum(is_exp, ok_body)
+
+        v = _uniform(shape)
+        accepted = valid * series_accept(x_new, v).astype(jnp.float32)
+
+        take = (done < 0.5) & (accepted > 0.5)
+        x = jnp.where(take, x_new, x)
+        done = jnp.maximum(done, accepted)
+        committed = 1.0 - valid
+        return k + 1, x, done, committed, is_exp
+
+    x0 = jnp.full(shape, _T, jnp.float32)
+    f0 = jnp.zeros(shape, jnp.float32)
+    _, x, _, _, _ = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), x0, f0, f0, f0)
+    )
+    out_ref[:] = 0.25 * x
+
+
+def _pg_rows(seeds, c, ratio, k_exp):
+    """Run the kernel over (rows, 128) tiles; rows % _BLOCK_R == 0."""
+    rows = c.shape[0]
+    grid = rows // _BLOCK_R
+    spec = pl.BlockSpec(
+        (_BLOCK_R, _LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _pg_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+    )(seeds, c, ratio, k_exp)
+
+
+def _key_words(key):
+    """Two int32 words of key material from any typed key (or batch)."""
+    data = jax.random.key_data(key)
+    flat = data.reshape(data.shape[:-1] + (-1,))[..., :2]
+    return flat.astype(jnp.uint32).astype(jnp.int32)
+
+
+def _pg_flat(kw, z_flat):
+    """PG(1, z) over a flat vector given (2,) int32 key words."""
+    m = z_flat.shape[0]
+    rows = -(-m // _LANES)
+    rows_pad = -(-rows // _BLOCK_R) * _BLOCK_R
+    grid = rows_pad // _BLOCK_R
+
+    z_pad = jnp.zeros(rows_pad * _LANES, jnp.float32).at[:m].set(
+        z_flat.astype(jnp.float32)
+    ).reshape(rows_pad, _LANES)
+
+    c = 0.5 * jnp.abs(z_pad)
+    ratio = _mass_texpon(c)
+    k_exp = jnp.pi * jnp.pi / 8.0 + 0.5 * c * c
+
+    block_ids = jnp.arange(grid, dtype=jnp.int32)
+    seeds = jnp.stack(
+        [kw[0] + block_ids * _GOLD, jnp.broadcast_to(kw[1], (grid,))],
+        axis=1,
+    )
+    out = _pg_rows(seeds, c, ratio, k_exp)
+    return out.reshape(-1)[:m].astype(z_flat.dtype)
+
+
+@jax.custom_batching.custom_vmap
+def _pg_core(kw, z_flat):
+    return _pg_flat(kw, z_flat)
+
+
+@_pg_core.def_vmap
+def _pg_core_vmap(axis_size, in_batched, kw, z_flat):
+    kw_batched, z_batched = in_batched
+    if not z_batched:
+        z_flat = jnp.broadcast_to(z_flat, (axis_size,) + z_flat.shape)
+    if kw_batched:
+        # mix all chains' key material so every key influences the stream
+        mixed = jax.lax.reduce_xor(kw.astype(jnp.uint32), axes=(0,))
+        kw0 = mixed.astype(jnp.int32)
+    else:
+        kw0 = kw
+    out = _pg_flat(kw0, z_flat.reshape(-1))
+    return out.reshape(z_flat.shape), True
+
+
+def pg_devroye_pallas(key, z):
+    """Draw PG(1, z) elementwise with the fused Pallas kernel.
+
+    Exact Devroye sampling (same scheme as ops/polyagamma.py:pg_devroye)
+    with on-core PRNG. Reproducible for a fixed key on a given backend;
+    the random stream differs from the threefry-based sampler's. Requires
+    a TPU backend; use ``pg_devroye`` elsewhere.
+    """
+    z = jnp.asarray(z)
+    kw = _key_words(key)
+    out = _pg_core(kw, z.reshape(-1))
+    return out.reshape(z.shape)

@@ -69,7 +69,7 @@ def sample_parallel(
 
     run, init = _get_runner(type(sampler), sampler._static_config())
 
-    root = jax.random.key(sampler._seed)
+    root = jax.random.key(sampler._seed, impl=sampler.rng_impl)
     init_keys = jax.random.split(jax.random.fold_in(root, 1), chains)
     run_keys = jax.random.split(jax.random.fold_in(root, 2), chains)
 

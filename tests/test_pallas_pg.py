@@ -1,0 +1,45 @@
+"""Pallas PG kernel tests (run only on a real TPU backend).
+
+The CI/test environment forces the CPU backend (conftest.py), where the
+fused Mosaic kernel cannot run — the moment/reproducibility contracts are
+then validated on TPU by the benchmark pipeline and by running this file
+with JAX_ALLOW_TPU=1 on TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+tpu = jax.default_backend() == 'tpu'
+
+pytestmark = pytest.mark.skipif(not tpu, reason='requires TPU backend')
+
+
+def test_moments():
+    from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas
+    from occuspytial_tpu.ops.polyagamma import pg_mean, pg_var
+
+    key = jax.random.key(0)
+    for z in (0.0, 1.0, 4.0, 16.0):
+        zs = jnp.full((200_000,), z)
+        d = pg_devroye_pallas(key, zs)
+        m, v = float(pg_mean(z)), float(pg_var(z))
+        assert abs(float(d.mean()) - m) < 5 * np.sqrt(v / zs.size)
+        assert abs(float(d.var()) - v) < 0.05 * v + 5e-5
+
+
+def test_reproducible_and_vmap():
+    from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas
+
+    key = jax.random.key(1)
+    z = jnp.linspace(0, 5, 777)
+    a = pg_devroye_pallas(key, z)
+    b = pg_devroye_pallas(key, z)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    keys = jax.random.split(key, 4)
+    out = jax.jit(jax.vmap(pg_devroye_pallas))(keys, jnp.zeros((4, 500)))
+    assert out.shape == (4, 500)
+    assert bool(jnp.isfinite(out).all())
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
