@@ -1,22 +1,21 @@
 #!/usr/bin/env python
-"""Headline benchmark: aggregate ESS/sec on the 1000-site ICAR lattice.
+"""Benchmarks for all 5 BASELINE.md configs; headline = config 4.
 
-Configuration 4 of BASELINE.md (the north-star): 64 vmapped chains of the
-logit/ICAR Gibbs sampler on a simulated 1000-site square-lattice dataset
-(visit design matching the reference's own test dataset: 2-10 visits on
-half the sites).
+Headline (the single stdout JSON line, consumed by the driver): config 4 —
+64 vmapped chains of the logit/ICAR Gibbs sampler on a simulated 1000-site
+square-lattice dataset. Metric: worst-parameter pooled bulk-ESS per second
+of sampling wall time (min over all alpha/beta components, ESS pooled
+across chains), against the same metric from a measured single-core CPU
+floor running the reference's algorithm (benchmarks/reference_floor.py;
+the reference's own Cython extensions cannot be built in this image, see
+BASELINE.md). The floor uses the *same pooled multi-chain estimator* and
+excludes one-time setup, exactly like the TPU side.
 
-Metric: worst-parameter pooled bulk-ESS per second of sampling wall time
-(min over all alpha/beta components, ESS pooled across all chains).
-Baseline: the same metric from the single-core CPU floor — a faithful
-numpy/scipy implementation of the reference's algorithm
-(benchmarks/reference_floor.py), since the reference's Cython extensions
-cannot be built in this image (BASELINE.md: floor must be measured, not
-copied). The floor result is cached in benchmarks/floor_cache.json.
+The remaining configs (1: 100-site single-chain logit ICAR, 2: probit
+ICAR, 3: logit RSR, 5: 10k-site matrix-free stencil ICAR) are measured
+and written to BENCH_DETAIL.json with detail on stderr.
 
-Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": "ESS/sec", "vs_baseline": N}
-Detail goes to stderr.
+Floor results are cached in benchmarks/floor_cache.json (config-keyed).
 """
 
 import json
@@ -26,23 +25,15 @@ import time
 
 import numpy as np
 
-BENCH = {
-    'n': 1000,
-    'ns': 500,
-    'p': 3,
-    'q': 3,
-    'min_v': 2,
-    'max_v': 10,
-    'seed': 7,
-    'chains': 64,
-    'size': 3008,
-    'burnin': 1024,
-    'floor_chains': 4,
-    'floor_size': 1500,
-    'floor_burnin': 500,
+HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(HERE, 'benchmarks', 'floor_cache.json')
+DETAIL = os.path.join(HERE, 'BENCH_DETAIL.json')
+
+HEAD = {
+    'n': 1000, 'ns': 500, 'p': 3, 'q': 3, 'min_v': 2, 'max_v': 10,
+    'seed': 7, 'chains': 64, 'size': 3008, 'burnin': 1024,
+    'floor_chains': 4, 'floor_size': 1500, 'floor_burnin': 500,
 }
-CACHE = os.path.join(os.path.dirname(__file__), 'benchmarks',
-                     'floor_cache.json')
 
 
 def log(msg):
@@ -55,43 +46,79 @@ def min_ess_per_param(samples):
 
     vals = []
     for name in ('alpha', 'beta'):
-        arr = samples[name]  # (chains, draws, dim)
+        arr = samples[name]
         for j in range(arr.shape[2]):
             vals.append(dg.ess_bulk(arr[:, :, j]))
     return float(np.nanmin(vals))
 
 
-def measure_floor(dataset):
-    key = {k: BENCH[k] for k in
-           ('n', 'ns', 'min_v', 'max_v', 'seed', 'floor_chains',
-            'floor_size', 'floor_burnin')}
+def make_lattice_dataset(rows, cols, ns, seed, p=3, qa=3, min_v=2,
+                         max_v=10, neighbors=8):
+    """Simulated occupancy dataset on an explicit (rows x cols) lattice."""
+    from occuspytial_tpu.ops.icar import lattice_precision
+    from occuspytial_tpu.utils import get_generator
+
+    n = rows * cols
+    rng = get_generator(seed)
+    Q = lattice_precision(rows, cols, neighbors).astype(float)
+    X = rng.uniform(-2, 2, (n, p))
+    X[:, 0] = 1
+    beta = rng.standard_normal(p)
+    alpha = rng.standard_normal(qa)
+    psi = 1 / (1 + np.exp(-(X @ beta)))
+    z = rng.binomial(1, psi)
+    sites = rng.choice(n, ns, replace=False)
+    W, y = {}, {}
+    for s_ in sites:
+        v = rng.integers(min_v, max_v, endpoint=True)
+        w_ = rng.uniform(-2, 2, (v, qa))
+        w_[:, 0] = 1
+        d = 1 / (1 + np.exp(-(w_ @ alpha)))
+        W[int(s_)] = w_
+        y[int(s_)] = rng.binomial(1, z[s_] * d)
+    return Q, W, X, y, alpha, beta
+
+
+def _load_cache():
     if os.path.exists(CACHE):
         with open(CACHE) as fh:
-            cached = json.load(fh)
-        if cached.get('config') == key:
-            log(f'floor: cached {cached["ess_per_sec"]:.3f} ESS/sec '
-                f'({cached["iters_per_sec"]:.1f} it/s)')
-            return cached
+            data = json.load(fh)
+        if 'headline' in data:
+            return data
+    return {}
+
+
+def _save_cache(cache):
+    with open(CACHE, 'w') as fh:
+        json.dump(cache, fh, indent=1)
+
+
+def measure_floor_headline(dataset):
+    """4 sequential reference-algorithm chains on one core, pooled ESS."""
+    key = {k: HEAD[k] for k in
+           ('n', 'ns', 'min_v', 'max_v', 'seed', 'floor_chains',
+            'floor_size', 'floor_burnin')}
+    cache = _load_cache()
+    cached = cache.get('headline')
+    if cached and cached.get('config') == key:
+        log(f'floor: cached {cached["ess_per_sec"]:.3f} ESS/sec '
+            f'({cached["iters_per_sec"]:.1f} it/s)')
+        return cached
     from benchmarks.reference_floor import NumpyLogitICAR
 
     Q, W, X, y = dataset
-    # Same estimator on both sides: pooled multi-chain rank-normalized
-    # ESS. The floor runs its chains sequentially on one core (the
-    # BASELINE.json comparator is single-core); wall time is the total.
     log('floor: running numpy reference-equivalent sampler (single core)…')
-    s = NumpyLogitICAR(Q, W, X, y, random_state=BENCH['seed'])
+    s = NumpyLogitICAR(Q, W, X, y, random_state=HEAD['seed'])
     chains = []
     t0 = time.time()  # one-time construction excluded, like the TPU side
-    for c in range(BENCH['floor_chains']):
-        s.reset(BENCH['seed'] + c)
-        chains.append(s.run(BENCH['floor_size'],
-                            burnin=BENCH['floor_burnin']))
+    for c in range(HEAD['floor_chains']):
+        s.reset(HEAD['seed'] + c)
+        chains.append(s.run(HEAD['floor_size'],
+                            burnin=HEAD['floor_burnin']))
     wall = time.time() - t0
-    samples = {
-        k: np.stack([c[k] for c in chains]) for k in chains[0]
-    }
+    samples = {k: np.stack([c[k] for c in chains]) for k in chains[0]}
     ess = min_ess_per_param(samples)
-    total_iters = BENCH['floor_chains'] * BENCH['floor_size']
+    total_iters = HEAD['floor_chains'] * HEAD['floor_size']
     res = {
         'config': key,
         'wall_sec': wall,
@@ -101,68 +128,120 @@ def measure_floor(dataset):
         'beta_mean': samples['beta'].mean(axis=(0, 1)).tolist(),
         'alpha_mean': samples['alpha'].mean(axis=(0, 1)).tolist(),
     }
-    with open(CACHE, 'w') as fh:
-        json.dump(res, fh, indent=1)
+    cache['headline'] = res
+    _save_cache(cache)
     log(f'floor: {res["iters_per_sec"]:.1f} it/s over '
-        f'{BENCH["floor_chains"]} sequential chains, pooled min ESS '
+        f'{HEAD["floor_chains"]} sequential chains, pooled min ESS '
         f'{ess:.1f} in {wall:.1f}s -> {res["ess_per_sec"]:.3f} ESS/sec')
+    return res
+
+
+def bench_config(name, sampler, size, burnin, chains):
+    sampler.sample(sampler.scan_chunk, chains=chains, progressbar=False)
+    t0 = time.time()
+    post = sampler.sample(size, burnin=burnin, chains=chains,
+                          progressbar=False)
+    wall = time.time() - t0
+    ess = min_ess_per_param(post.data)
+    res = {
+        'config': name,
+        'chains': chains,
+        'size': size,
+        'iters_per_sec': round(size / wall, 2),
+        'chain_iters_per_sec': round(size * chains / wall, 1),
+        'min_pooled_ess': round(ess, 1),
+        'ess_per_sec': round(ess / wall, 3),
+        'wall_sec': round(wall, 2),
+        'beta_mean': np.round(
+            post['beta'].mean(axis=(0, 1)), 4
+        ).tolist(),
+    }
+    log(f'{name}: {res["iters_per_sec"]} it/s x {chains} chains, '
+        f'min pooled ESS {res["min_pooled_ess"]} in {res["wall_sec"]}s '
+        f'-> {res["ess_per_sec"]} ESS/sec')
     return res
 
 
 def main():
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(__file__), '.jax_cache')
-    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(HERE, '.jax_cache'))
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-    from occuspytial_tpu import LogitICARGibbs
+    from occuspytial_tpu import (
+        LogitICARGibbs,
+        LogitRSRGibbs,
+        ProbitICARGibbs,
+    )
     from occuspytial_tpu.utils import make_data
 
     log(f'backend: {jax.default_backend()} ({jax.devices()[0]})')
-    Q, W, X, y, alpha, beta, tau, z = make_data(
-        n=BENCH['n'], ns=BENCH['ns'], p=BENCH['p'], q=BENCH['q'],
-        min_v=BENCH['min_v'], max_v=BENCH['max_v'],
-        random_state=BENCH['seed'],
+    detail = {}
+
+    # ---- headline dataset + floor ------------------------------------ #
+    Qh, Wh, Xh, yh, alpha, beta, tau, z = make_data(
+        n=HEAD['n'], ns=HEAD['ns'], p=HEAD['p'], q=HEAD['q'],
+        min_v=HEAD['min_v'], max_v=HEAD['max_v'],
+        random_state=HEAD['seed'],
+    )
+    floor = measure_floor_headline((Qh, Wh, Xh, yh))
+
+    # ---- config 4 (headline): logit ICAR, 64 chains ------------------ #
+    s4 = LogitICARGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'])
+    head = bench_config(
+        'config4 logitICAR n=1000 64 chains (headline)', s4,
+        HEAD['size'], HEAD['burnin'], HEAD['chains'],
+    )
+    detail['4_logit_icar_1000site_64chains'] = head
+    detail['floor_headline'] = floor
+    vs = head['ess_per_sec'] / floor['ess_per_sec']
+    log(f'headline vs floor: {vs:.1f}x '
+        f'(tpu beta {head["beta_mean"]}, floor beta '
+        f'{np.round(floor["beta_mean"], 4).tolist()}, true '
+        f'{np.round(beta, 4).tolist()})')
+
+    # ---- config 1 & 2: 100-site lattice, logit + probit ICAR --------- #
+    Q1, W1, X1, y1, *_ = make_lattice_dataset(10, 10, ns=50, seed=3)
+    s1 = LogitICARGibbs(Q1, W1, X1, y1, random_state=3)
+    detail['1_logit_icar_100site_1chain'] = bench_config(
+        'config1 logitICAR n=100 1 chain', s1, 4096, 1024, 1,
+    )
+    s2 = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
+    detail['2_probit_icar_100site'] = bench_config(
+        'config2 probitICAR n=100 16 chains', s2, 2048, 512, 16,
     )
 
-    floor = measure_floor((Q, W, X, y))
-
-    t0 = time.time()
-    s = LogitICARGibbs(Q, W, X, y, random_state=BENCH['seed'])
-    log(f'construct: {time.time() - t0:.1f}s')
-
-    # warmup: compile the scan executable (one-time, persistent-cached)
-    t0 = time.time()
-    s.sample(s.scan_chunk, chains=BENCH['chains'], progressbar=False)
-    log(f'warmup (compile): {time.time() - t0:.1f}s')
-
-    t0 = time.time()
-    post = s.sample(
-        BENCH['size'], burnin=BENCH['burnin'], chains=BENCH['chains'],
-        progressbar=False,
+    # ---- config 3: RSR on the 1000-site dataset ---------------------- #
+    s3 = LogitRSRGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'], q=100)
+    detail['3_logit_rsr_1000site'] = bench_config(
+        'config3 logitRSR n=1000 q=100 64 chains', s3, 3008, 1024, 64,
     )
-    wall = time.time() - t0
-    iters_per_sec = BENCH['size'] / wall
 
-    ess = min_ess_per_param(post.data)
-    ess_per_sec = ess / wall
-    vs = ess_per_sec / floor['ess_per_sec']
+    # ---- config 5: 10k-site matrix-free stencil ---------------------- #
+    Q5, W5, X5, y5, *_ = make_lattice_dataset(
+        100, 100, ns=5000, seed=11, min_v=2, max_v=5,
+    )
+    s5 = LogitICARGibbs(
+        Q5, W5, X5, y5, random_state=11, lattice=(100, 100, 8),
+    )
+    detail['5_logit_icar_10000site_stencil'] = bench_config(
+        'config5 logitICAR n=10000 stencil 16 chains', s5, 1024, 256, 16,
+    )
 
-    log(f'tpu: {iters_per_sec:.1f} it/s x {BENCH["chains"]} chains '
-        f'({iters_per_sec * BENCH["chains"]:.0f} chain-iters/s), '
-        f'min pooled ESS {ess:.0f} in {wall:.1f}s')
-    log(f'tpu beta mean:   {post["beta"].mean(axis=(0, 1))}')
-    log(f'floor beta mean: {np.asarray(floor["beta_mean"])}')
-    log(f'true beta:       {beta}')
+    detail['vs_baseline_headline'] = round(vs, 2)
+    with open(DETAIL, 'w') as fh:
+        json.dump(detail, fh, indent=1)
+    log(f'detail written to {DETAIL}')
+
     print(json.dumps({
         'metric': (
             'aggregate ESS/sec (min over alpha+beta, pooled over '
-            f'{BENCH["chains"]} chains, LogitICARGibbs, 1000-site '
+            f'{HEAD["chains"]} chains, LogitICARGibbs, 1000-site '
             'ICAR lattice) vs single-core CPU reference floor'
         ),
-        'value': round(ess_per_sec, 3),
+        'value': head['ess_per_sec'],
         'unit': 'ESS/sec',
         'vs_baseline': round(vs, 2),
     }))

@@ -83,34 +83,67 @@ def pack_detection_data(W, y, n_sites, dtype=np.float32):
         raise ValueError('site keys must lie in [0, n_sites)')
 
     ns = len(sites)
-    v_max = max((np.atleast_2d(W[s]).shape[0] for s in sites), default=1)
-    n_alpha = np.atleast_2d(W[sites[0]]).shape[1] if sites else 1
+    from . import native
 
-    w_pad = np.zeros((ns, v_max, n_alpha), dtype=dtype)
-    y_pad = np.zeros((ns, v_max), dtype=dtype)
-    mask = np.zeros((ns, v_max), dtype=bool)
-    site_idx = np.zeros(ns, dtype=np.int32)
+    if native.HAVE_PACKER and sites:
+        # native fast path: dtype coercion, validation and row copies in C
+        w_list = [np.atleast_2d(W[s]) for s in sites]
+        y_list = [np.atleast_1d(y[s]) for s in sites]
+        n_alpha = w_list[0].shape[1]
+        v_max = max(w.shape[0] for w in w_list)
+        for s, wi, yi in zip(sites, w_list, y_list):
+            if wi.shape[0] != yi.shape[0]:
+                raise ValueError(
+                    f'site {s}: W has {wi.shape[0]} visits but y has '
+                    f'{yi.shape[0]}'
+                )
+            if wi.shape[1] != n_alpha:
+                raise ValueError(
+                    f'site {s}: expected {n_alpha} detection covariates, '
+                    f'got {wi.shape[1]}'
+                )
+        w_pad = np.zeros((ns, v_max, n_alpha), dtype=np.float32)
+        y_pad = np.zeros((ns, v_max), dtype=np.float32)
+        mask = np.zeros((ns, v_max), dtype=bool)
+        native._packer.pack_rows(w_list, y_list, w_pad, y_pad, mask)
+    else:
+        w_list = []
+        y_list = []
+        n_alpha = None
+        for s in sites:
+            wi = np.atleast_2d(np.asarray(W[s], dtype=np.float32))
+            yi = np.atleast_1d(np.asarray(y[s], dtype=np.float32))
+            if n_alpha is None:
+                n_alpha = wi.shape[1]
+            if wi.shape[0] != yi.shape[0]:
+                raise ValueError(
+                    f'site {s}: W has {wi.shape[0]} visits but y has '
+                    f'{yi.shape[0]}'
+                )
+            if wi.shape[1] != n_alpha:
+                raise ValueError(
+                    f'site {s}: expected {n_alpha} detection covariates, '
+                    f'got {wi.shape[1]}'
+                )
+            w_list.append(wi)
+            y_list.append(yi)
+        if n_alpha is None:
+            n_alpha = 1
+        v_max = max((w.shape[0] for w in w_list), default=1)
+        w_pad = np.zeros((ns, v_max, n_alpha), dtype=np.float32)
+        y_pad = np.zeros((ns, v_max), dtype=np.float32)
+        mask = np.zeros((ns, v_max), dtype=bool)
+        for row in range(ns):
+            v = w_list[row].shape[0]
+            w_pad[row, :v] = w_list[row]
+            y_pad[row, :v] = y_list[row]
+            mask[row, :v] = True
+
+    site_idx = np.asarray(sites, dtype=np.int32)
     surveyed = np.zeros(n_sites, dtype=bool)
-
-    for row, s in enumerate(sites):
-        wi = np.atleast_2d(np.asarray(W[s], dtype=dtype))
-        yi = np.atleast_1d(np.asarray(y[s], dtype=dtype))
-        if wi.shape[0] != yi.shape[0]:
-            raise ValueError(
-                f'site {s}: W has {wi.shape[0]} visits but y has '
-                f'{yi.shape[0]}'
-            )
-        if wi.shape[1] != n_alpha:
-            raise ValueError(
-                f'site {s}: expected {n_alpha} detection covariates, got '
-                f'{wi.shape[1]}'
-            )
-        v = wi.shape[0]
-        w_pad[row, :v] = wi
-        y_pad[row, :v] = yi
-        mask[row, :v] = True
-        site_idx[row] = s
-        surveyed[s] = True
+    surveyed[site_idx] = True
+    w_pad = w_pad.astype(dtype, copy=False)
+    y_pad = y_pad.astype(dtype, copy=False)
 
     obs = np.zeros(n_sites, dtype=bool)
     obs[site_idx] = (y_pad * mask).sum(axis=1) > 0

@@ -115,14 +115,37 @@ class GibbsBase:
     # configuration (host side, runs once)
     # ------------------------------------------------------------------ #
 
-    def _configure(self, Q, x_np, hparams):
-        """Build the ``fixed`` pytree (reference gibbs/base.py:107-164)."""
+    #: subclasses set False when they never need the dense precision
+    #: (e.g. the matrix-free lattice path)
+    _needs_dense_q = True
+
+    def _verify_spatial_precision(self, Q):
+        """Singularity check (reference gibbs/base.py:166-170). The
+        matrix-free lattice path replaces the shift-invert eigsh (slow at
+        10k+ sites) with the exact equivalent for an ICAR precision:
+        zero row sums."""
+        if getattr(self, 'solver', None) == 'stencil':
+            import scipy.sparse as sps
+
+            rowsum = (
+                np.abs(np.asarray(Q.sum(axis=1))).max()
+                if sps.issparse(Q) else np.abs(np.asarray(Q).sum(1)).max()
+            )
+            if getattr(self.lattice, 'rho', 1.0) == 1.0 and rowsum > 1e-8:
+                raise ValueError(
+                    'Spatial precision matrix Q must be singular.'
+                )
+            return
         icar.verify_spatial_precision(Q)
 
-        q_dense = icar.to_dense(Q)
+    def _configure(self, Q, x_np, hparams):
+        """Build the ``fixed`` pytree (reference gibbs/base.py:107-164)."""
+        self._verify_spatial_precision(Q)
+
         f = self.fixed
         f['X'] = x_np
-        f['Q'] = q_dense
+        if self._needs_dense_q:
+            f['Q'] = icar.to_dense(Q)
         f['W'] = self.data.W
         f['y'] = self.data.y
         f['visit_mask'] = np.asarray(self.data.visit_mask, dtype=np.float64)
@@ -261,14 +284,57 @@ class GibbsBase:
 
         return lax.scan(body, (keys, state0), None, length=size)
 
+    def init_carry(self, chains=2, start=None):
+        """Build the resumable sampling carry: per-chain (keys, states).
+
+        The carry fully determines the rest of a run — passing it to
+        :meth:`sample` (``resume_from=``) continues the exact chain the
+        previous run would have produced, which is the rebuild's
+        checkpoint/resume mechanism (SURVEY.md §5: the reference only
+        supports restart-from-``start``, gibbs/base.py:188-197).
+        """
+        _, init = _get_runner(type(self), self._static_config())
+        root = jax.random.key(self._seed, impl=self.rng_impl)
+        init_keys = jax.random.split(jax.random.fold_in(root, 1), chains)
+        run_keys = jax.random.split(jax.random.fold_in(root, 2), chains)
+        state0 = init(init_keys, self.fixed)
+        if start is not None:
+            state0 = jax.vmap(lambda s: self._apply_start(s, start))(state0)
+        return (run_keys, state0)
+
+    def save_carry(self, path, carry):
+        """Serialize a sampling carry to ``path`` (.npz)."""
+        keys, states = carry
+        payload = {'__keys__': np.asarray(jax.random.key_data(keys))}
+        for name, val in states.items():
+            payload[name] = np.asarray(val)
+        np.savez(path, **payload)
+
+    def load_carry(self, path):
+        """Load a carry saved by :meth:`save_carry`."""
+        data = np.load(path)
+        keys = jax.random.wrap_key_data(
+            jnp.asarray(data['__keys__']), impl=self.rng_impl
+        )
+        states = {
+            name: jnp.asarray(data[name])
+            for name in data.files if name != '__keys__'
+        }
+        return (keys, states)
+
     def sample(
         self, size, burnin=0, start=None, chains=2, progressbar=True,
+        resume_from=None,
     ):
         """Draw posterior samples (API of reference gibbs/base.py:243-291).
 
         Returns a :class:`~occuspytial_tpu.posterior.PosteriorParameter`
         over parameters ('alpha', 'beta', 'tau') with per-chain arrays of
-        shape (chains, size - burnin[, dim]).
+        shape (chains, size - burnin[, dim]). After the call,
+        ``self.final_carry`` holds the resumable (keys, states) carry;
+        pass it back via ``resume_from`` (or through
+        :meth:`save_carry`/:meth:`load_carry`) to continue the run
+        exactly where it stopped.
         """
         if burnin >= size:
             raise ValueError('burnin value cannot be larger than sample size')
@@ -280,21 +346,22 @@ class GibbsBase:
 
         run, init = _get_runner(type(self), self._static_config())
 
-        root = jax.random.key(self._seed, impl=self.rng_impl)
-        init_keys = jax.random.split(jax.random.fold_in(root, 1), chains)
-        run_keys = jax.random.split(jax.random.fold_in(root, 2), chains)
-
-        state0 = init(init_keys, self.fixed)
-        if start is not None:
-            state0 = jax.vmap(lambda s: self._apply_start(s, start))(state0)
+        if resume_from is not None:
+            run_keys, state0 = resume_from
+        else:
+            run_keys, state0 = self.init_carry(chains, start)
 
         # All sampling runs as repeats of one fixed-length compiled scan
         # (resumed from the carried per-chain keys, so the result is
         # bitwise-identical to a single fused scan). The executable then
         # depends only on (model config, chains, scan_chunk) — never on
-        # ``size``/``burnin`` — so varying sample sizes never recompile.
+        # ``size``/``burnin``; a trailing remainder chunk (compiled once
+        # per distinct remainder) keeps ``final_carry`` exactly at
+        # iteration ``size`` for resumption.
         chunk = max(1, int(self.scan_chunk))
-        n_chunks = -(-size // chunk)
+        lengths = [chunk] * (size // chunk)
+        if size % chunk:
+            lengths.append(size % chunk)
 
         bar = None
         if progressbar:
@@ -303,19 +370,22 @@ class GibbsBase:
             bar = tqdm(total=size)
         carry, outs = (run_keys, state0), []
         try:
-            for i in range(n_chunks):
-                carry, out = run(carry[0], carry[1], self.fixed, size=chunk)
+            for ln in lengths:
+                carry, out = run(carry[0], carry[1], self.fixed, size=ln)
                 outs.append(out)
                 if bar is not None:
                     jax.block_until_ready(out)
-                    bar.update(min(chunk, size - i * chunk))
+                    bar.update(ln)
         finally:
             if bar is not None:
                 bar.close()
 
+        #: resumable end-of-run carry (see docstring)
+        self.final_carry = carry
+
         merged = {}
         for name in self.posterior_names:
-            arr = np.concatenate([np.asarray(o[name]) for o in outs])[:size]
+            arr = np.concatenate([np.asarray(o[name]) for o in outs])
             merged[name] = np.moveaxis(arr, 0, 1)[:, burnin:]
         return PosteriorParameter(merged)
 

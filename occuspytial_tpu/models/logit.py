@@ -34,6 +34,8 @@ from ..ops.mvnorm import (
     rsr_mvnorm,
 )
 from ..ops.polyagamma import pg_devroye, pg_gamma
+from ..ops.stencil import LatticeSpec
+from ..ops import stencil
 from .base import GibbsBase
 
 #: below this site count the dense Cholesky eta draw wins; above it the
@@ -61,7 +63,8 @@ class LogitICARGibbs(GibbsBase):
 
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
-        dtype=jnp.float32, pg_method=None, solver=None, cg_iters=15,
+        dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
+        lattice=None,
     ):
         if pg_method is None:
             # fused on-core kernel on TPU; portable sampler elsewhere
@@ -70,14 +73,29 @@ class LogitICARGibbs(GibbsBase):
             )
         if pg_method not in ('devroye', 'gamma', 'pallas'):
             raise ValueError(f'unknown PG sampling method: {pg_method!r}')
-        if solver not in (None, 'chol', 'cg'):
+        if solver not in (None, 'chol', 'cg', 'stencil'):
             raise ValueError(f'unknown eta solver: {solver!r}')
         self.pg_method = pg_method
+        self.lattice = None
+        if lattice is not None:
+            self.lattice = (
+                lattice if isinstance(lattice, LatticeSpec)
+                else LatticeSpec(*lattice)
+            )
+            if solver in (None, 'stencil'):
+                solver = 'stencil'
+        if solver == 'stencil' and self.lattice is None:
+            raise ValueError(
+                "solver='stencil' requires the `lattice` argument"
+            )
         n_sites = np.asarray(X).shape[0]
         self.solver = solver or (
             'cg' if n_sites >= _CG_AUTO_THRESHOLD else 'chol'
         )
+        if cg_iters is None:
+            cg_iters = 30 if self.solver == 'stencil' else 15
         self.cg_iters = int(cg_iters)
+        self._needs_dense_q = self.solver != 'stencil'
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
         )
@@ -87,10 +105,41 @@ class LogitICARGibbs(GibbsBase):
             ('pg_method', self.pg_method),
             ('solver', self.solver),
             ('cg_iters', self.cg_iters),
+            ('lattice', self.lattice),
+            ('_needs_dense_q', self._needs_dense_q),
         )
 
     def _configure(self, Q, x_np, hparams):
         super()._configure(Q, x_np, hparams)
+        if self.solver == 'stencil':
+            # O(n) matrix-free setup; validate Q against the declared
+            # lattice with a random host-side matvec
+            spec = self.lattice
+            if spec.n != self.n:
+                raise ValueError(
+                    f'lattice {spec.rows}x{spec.cols} does not match '
+                    f'{self.n} sites'
+                )
+            rng = np.random.default_rng(0)
+            v = rng.standard_normal(self.n)
+            import scipy.sparse as sps
+
+            qv = (sps.csr_matrix(Q) @ v) if sps.issparse(Q) else (
+                np.asarray(Q) @ v
+            )
+            sv = np.asarray(
+                stencil.matvec(
+                    spec,
+                    jnp.asarray(stencil.degree_grid(spec), jnp.float32),
+                    jnp.asarray(v, jnp.float32),
+                )
+            )
+            if not np.allclose(qv, sv, atol=1e-3 * max(1.0, np.abs(qv).max())):
+                raise ValueError(
+                    'Q does not match the declared lattice structure'
+                )
+            self.fixed.update(stencil.setup(spec))
+            return
         # one-time dense eigendecomposition of the singular ICAR precision
         # (reference gibbs/logit.py:64-67); also powers the spectral CG
         # preconditioner when solver='cg'
@@ -111,7 +160,7 @@ class LogitICARGibbs(GibbsBase):
 
     def _init_state(self, key, fixed):
         state = self._init_common(key, fixed)
-        if self.solver == 'cg':
+        if self.solver in ('cg', 'stencil'):
             # CG warm-start carries: [Lambda^-1 y, Lambda^-1 1] solutions
             state['eta_warm'] = jnp.zeros((2, self.n), self.dtype)
         return state
@@ -121,14 +170,24 @@ class LogitICARGibbs(GibbsBase):
     def _update_tau(self, key, eta, fixed):
         """tau ~ Gamma(shape, 0.5 eta'Q eta + rate)
         (reference gibbs/logit.py:206-209)."""
-        rate = 0.5 * eta @ (fixed['Q'] @ eta) + fixed['tau_rate']
+        if self.solver == 'stencil':
+            quad = stencil.quad_form(self.lattice, fixed['lat_deg'], eta)
+        else:
+            quad = eta @ (fixed['Q'] @ eta)
+        rate = 0.5 * quad + fixed['tau_rate']
         return jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype) / rate
 
     def _update_eta(self, key, state, omega_b, tau, fixed):
         """Constrained ICAR draw (reference gibbs/logit.py:211-217)."""
         xb = fixed['X'] @ state['beta']
         b = state['k'] - omega_b * xb
-        if self.solver == 'cg':
+        if self.solver == 'stencil':
+            eta, warm = stencil.constrained_mvnorm(
+                self.lattice, fixed, key, b, omega_b, tau,
+                state['eta_warm'], self.cg_iters,
+            )
+            state['eta_warm'] = warm
+        elif self.solver == 'cg':
             eta, warm = constrained_icar_mvnorm_cg(
                 key, b, omega_b, tau, fixed['Q'], fixed['sqrt_factor'],
                 fixed['q_eigvecs'], fixed['q_eigvals'],
