@@ -136,12 +136,25 @@ def measure_floor_headline(dataset):
     return res
 
 
-def bench_config(name, sampler, size, burnin, chains):
-    sampler.sample(sampler.scan_chunk, chains=chains, progressbar=False)
-    t0 = time.time()
-    post = sampler.sample(size, burnin=burnin, chains=chains,
-                          progressbar=False)
-    wall = time.time() - t0
+def bench_config(name, sampler, size, burnin, chains, retries=2):
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            sampler.sample(
+                sampler.scan_chunk, chains=chains, progressbar=False
+            )
+            t0 = time.time()
+            post = sampler.sample(size, burnin=burnin, chains=chains,
+                                  progressbar=False)
+            wall = time.time() - t0
+            break
+        except Exception as exc:  # transient tunnel/runtime errors
+            last = exc
+            log(f'{name}: attempt {attempt} failed ({exc}); retrying')
+            time.sleep(5)
+    else:
+        log(f'{name}: FAILED after retries: {last}')
+        return {'config': name, 'error': str(last)}
     ess = min_ess_per_param(post.data)
     res = {
         'config': name,
@@ -212,6 +225,7 @@ def main():
     detail['2_probit_icar_100site'] = bench_config(
         'config2 probitICAR n=100 16 chains', s2, 2048, 512, 16,
     )
+    del s1, s2
 
     # ---- config 3: RSR on the 1000-site dataset ---------------------- #
     s3 = LogitRSRGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'], q=100)

@@ -8,7 +8,7 @@ surface mirrors reference occuspytial/__init__.py:1-6 plus the rebuild
 additions (ProbitICARGibbs, OccupancyData, diagnostics).
 """
 
-from .data import OccupancyData, pack_detection_data
+from .data import Data, OccupancyData, pack_detection_data
 from .models import (
     LogitICARGibbs,
     LogitRSRGibbs,
@@ -23,6 +23,7 @@ __all__ = (
     'LogitRSRGibbs',
     'ProbitICARGibbs',
     'ProbitRSRGibbs',
+    'Data',
     'OccupancyData',
     'pack_detection_data',
     'PosteriorParameter',

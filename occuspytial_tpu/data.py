@@ -154,7 +154,51 @@ def pack_detection_data(W, y, n_sites, dtype=np.float32):
 
 
 def as_occupancy_data(W, y, n_sites, dtype=np.float32):
-    """Coerce (dicts | OccupancyData) into an OccupancyData."""
+    """Coerce (dicts | Data | OccupancyData) into an OccupancyData."""
     if isinstance(W, OccupancyData):
         return W
+    if isinstance(W, Data):
+        W = W.raw
+    if isinstance(y, Data):
+        y = y.raw
     return pack_detection_data(W, y, n_sites, dtype=dtype)
+
+
+class Data:
+    """Drop-in compatible ragged survey-data container.
+
+    API parity with the reference's Cython ``Data`` (reference
+    data.pyx:34-147): a dict of per-site arrays with ``surveyed``,
+    ``visits(sites)`` and concatenating ``__getitem__``. In this rebuild
+    it is a host-side convenience only — samplers convert to the padded
+    :class:`OccupancyData` once; nothing ragged reaches the device.
+    """
+
+    def __init__(self, data):
+        if not isinstance(data, dict):
+            raise TypeError('Data expects a dict of per-site arrays')
+        self.raw = data
+        self.surveyed = list(data)
+
+    def visits(self, sites):
+        """Number of visits (first-dim length) per site."""
+        if isinstance(sites, (list, tuple)):
+            return tuple(
+                np.asarray(self.raw[s]).shape[0] for s in sites
+            )
+        return np.asarray(self.raw[sites]).shape[0]
+
+    def __getitem__(self, sites):
+        """Site data; sequences concatenate along the first axis
+        (reference data.pyx:117-140)."""
+        if isinstance(sites, (list, tuple)):
+            return np.concatenate(
+                [np.asarray(self.raw[s]) for s in sites], axis=0
+            )
+        return self.raw[sites]
+
+    def __len__(self):
+        return len(self.raw)
+
+    def __reduce__(self):
+        return self.__class__, (self.raw,)

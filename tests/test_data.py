@@ -70,3 +70,33 @@ def test_pytree_roundtrip():
     leaves, treedef = jax.tree_util.tree_flatten(d)
     d2 = jax.tree_util.tree_unflatten(treedef, leaves)
     np.testing.assert_array_equal(np.asarray(d2.W), np.asarray(d.W))
+
+
+def test_compat_data_container():
+    """Reference Data API parity (reference tests/test_data.py)."""
+    import pytest
+    from occuspytial_tpu import Data
+
+    W, y = _toy()
+    d = Data(W)
+    assert sorted(d.surveyed) == [0, 2]
+    assert len(d) == 2
+    assert d.visits(0) == 3
+    assert d.visits([0, 2]) == (3, 2)
+    np.testing.assert_array_equal(d[0], W[0])
+    cat = d[[0, 2]]
+    assert cat.shape == (5, 2)
+    np.testing.assert_array_equal(cat, np.vstack([W[0], W[2]]))
+    with pytest.raises(TypeError, match='dict'):
+        Data([1, 2])
+    # picklable (reference data.pyx:146-147)
+    import pickle
+
+    d2 = pickle.loads(pickle.dumps(d))
+    assert sorted(d2.surveyed) == [0, 2]
+
+    # samplers accept Data-wrapped input
+    from occuspytial_tpu.data import as_occupancy_data
+
+    occ = as_occupancy_data(Data(W), Data(y), n_sites=4)
+    assert occ.W.shape == (2, 3, 2)
