@@ -175,6 +175,81 @@ def bench_config(name, sampler, size, burnin, chains, retries=2):
     return res
 
 
+def run_one(which):
+    """Run a single config in this process; print its JSON result."""
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(HERE, '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+    from occuspytial_tpu import (
+        LogitICARGibbs,
+        LogitRSRGibbs,
+        ProbitICARGibbs,
+    )
+    from occuspytial_tpu.utils import make_data
+
+    if which in ('1', '2'):
+        Q1, W1, X1, y1, *_ = make_lattice_dataset(10, 10, ns=50, seed=3)
+        if which == '1':
+            s = LogitICARGibbs(Q1, W1, X1, y1, random_state=3)
+            res = bench_config(
+                'config1 logitICAR n=100 1 chain', s, 4096, 1024, 1,
+            )
+        else:
+            s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
+            res = bench_config(
+                'config2 probitICAR n=100 16 chains', s, 2048, 512, 16,
+            )
+    elif which == '3':
+        Qh, Wh, Xh, yh, *_ = make_data(
+            n=HEAD['n'], ns=HEAD['ns'], p=HEAD['p'], q=HEAD['q'],
+            min_v=HEAD['min_v'], max_v=HEAD['max_v'],
+            random_state=HEAD['seed'],
+        )
+        s = LogitRSRGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'],
+                          q=100)
+        res = bench_config(
+            'config3 logitRSR n=1000 q=100 64 chains', s, 3008, 1024, 64,
+        )
+    elif which == '5':
+        Q5, W5, X5, y5, *_ = make_lattice_dataset(
+            100, 100, ns=5000, seed=11, min_v=2, max_v=5,
+        )
+        s = LogitICARGibbs(
+            Q5, W5, X5, y5, random_state=11, lattice=(100, 100, 8),
+        )
+        res = bench_config(
+            'config5 logitICAR n=10000 stencil 16 chains', s, 1024, 256,
+            16,
+        )
+    else:
+        raise SystemExit(f'unknown config {which}')
+    print('RESULT ' + json.dumps(res))
+
+
+def run_subprocess_config(which):
+    """Run one config in a fresh process (isolates transient TPU
+    runtime faults) and parse its result."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--config', which],
+        capture_output=True, text=True, timeout=3600, cwd=HERE,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith('RESULT '):
+            res = json.loads(line[len('RESULT '):])
+            log(f'{res.get("config", which)}: '
+                f'{res.get("ess_per_sec", res.get("error"))} ESS/sec')
+            return res
+    tail = (proc.stderr or '').strip().splitlines()[-3:]
+    log(f'config {which}: subprocess failed: {" | ".join(tail)}')
+    return {'config': which, 'error': 'subprocess failed', 'tail': tail}
+
+
 def main():
     import jax
 
@@ -215,34 +290,11 @@ def main():
         f'{np.round(floor["beta_mean"], 4).tolist()}, true '
         f'{np.round(beta, 4).tolist()})')
 
-    # ---- config 1 & 2: 100-site lattice, logit + probit ICAR --------- #
-    Q1, W1, X1, y1, *_ = make_lattice_dataset(10, 10, ns=50, seed=3)
-    s1 = LogitICARGibbs(Q1, W1, X1, y1, random_state=3)
-    detail['1_logit_icar_100site_1chain'] = bench_config(
-        'config1 logitICAR n=100 1 chain', s1, 4096, 1024, 1,
-    )
-    s2 = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
-    detail['2_probit_icar_100site'] = bench_config(
-        'config2 probitICAR n=100 16 chains', s2, 2048, 512, 16,
-    )
-    del s1, s2
-
-    # ---- config 3: RSR on the 1000-site dataset ---------------------- #
-    s3 = LogitRSRGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'], q=100)
-    detail['3_logit_rsr_1000site'] = bench_config(
-        'config3 logitRSR n=1000 q=100 64 chains', s3, 3008, 1024, 64,
-    )
-
-    # ---- config 5: 10k-site matrix-free stencil ---------------------- #
-    Q5, W5, X5, y5, *_ = make_lattice_dataset(
-        100, 100, ns=5000, seed=11, min_v=2, max_v=5,
-    )
-    s5 = LogitICARGibbs(
-        Q5, W5, X5, y5, random_state=11, lattice=(100, 100, 8),
-    )
-    detail['5_logit_icar_10000site_stencil'] = bench_config(
-        'config5 logitICAR n=10000 stencil 16 chains', s5, 1024, 256, 16,
-    )
+    # ---- remaining configs, each in a fresh subprocess --------------- #
+    detail['1_logit_icar_100site_1chain'] = run_subprocess_config('1')
+    detail['2_probit_icar_100site'] = run_subprocess_config('2')
+    detail['3_logit_rsr_1000site'] = run_subprocess_config('3')
+    detail['5_logit_icar_10000site_stencil'] = run_subprocess_config('5')
 
     detail['vs_baseline_headline'] = round(vs, 2)
     with open(DETAIL, 'w') as fh:
@@ -262,4 +314,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == '--config':
+        run_one(sys.argv[2])
+    else:
+        main()

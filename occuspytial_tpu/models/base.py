@@ -370,12 +370,16 @@ class GibbsBase:
             bar = tqdm(total=size)
         carry, outs = (run_keys, state0), []
         try:
-            for ln in lengths:
+            for i, ln in enumerate(lengths):
                 carry, out = run(carry[0], carry[1], self.fixed, size=ln)
                 outs.append(out)
                 if bar is not None:
                     jax.block_until_ready(out)
                     bar.update(ln)
+                elif (i + 1) % 16 == 0:
+                    # bound the async in-flight dispatch queue (some TPU
+                    # runtimes reject new executions past a queue limit)
+                    jax.block_until_ready(out)
         finally:
             if bar is not None:
                 bar.close()

@@ -32,6 +32,7 @@ from ..ops.mvnorm import (
     constrained_icar_mvnorm_cg,
     precision_mvnorm,
     rsr_mvnorm,
+    sum_to_zero,
 )
 from ..ops.polyagamma import pg_devroye, pg_gamma
 from ..ops.stencil import LatticeSpec
@@ -64,8 +65,9 @@ class LogitICARGibbs(GibbsBase):
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
-        lattice=None,
+        lattice=None, blocked=True,
     ):
+        self.blocked = bool(blocked)
         if pg_method is None:
             # fused on-core kernel on TPU; portable sampler elsewhere
             pg_method = (
@@ -107,6 +109,7 @@ class LogitICARGibbs(GibbsBase):
             ('cg_iters', self.cg_iters),
             ('lattice', self.lattice),
             ('_needs_dense_q', self._needs_dense_q),
+            ('blocked', self.blocked),
         )
 
     def _configure(self, Q, x_np, hparams):
@@ -161,9 +164,102 @@ class LogitICARGibbs(GibbsBase):
     def _init_state(self, key, fixed):
         state = self._init_common(key, fixed)
         if self.solver in ('cg', 'stencil'):
-            # CG warm-start carries: [Lambda^-1 y, Lambda^-1 1] solutions
-            state['eta_warm'] = jnp.zeros((2, self.n), self.dtype)
+            # CG warm-start carries: solutions of Lambda^{-1} against the
+            # per-iteration right-hand sides ([y, 1] unblocked;
+            # [Omega X cols, k, 1, y] blocked)
+            rows = (self.n_beta + 3) if self.blocked else 2
+            state['eta_warm'] = jnp.zeros((rows, self.n), self.dtype)
         return state
+
+    # ----------------- shared Lambda = tau*Q + diag(omega) ------------- #
+
+    def _lambda_solve(self, rhs, warm, omega, tau, fixed):
+        """Solve Lambda X = rhs for stacked rows; returns solutions.
+
+        Dispatches on the configured solver; iterative paths warm-start
+        from ``warm`` (same shape as rhs)."""
+        if self.solver == 'stencil':
+            return stencil.cg_solve(
+                self.lattice, fixed, rhs, warm, omega, tau, self.cg_iters
+            )
+        if self.solver == 'cg':
+            from ..ops.cg import icar_cg_solve
+
+            return icar_cg_solve(
+                rhs, warm, omega, tau, fixed['Q'],
+                fixed['q_eigvecs'], fixed['q_eigvals'], self.cg_iters,
+            )
+        lam = tau * fixed['Q'] + jnp.diag(omega)
+        chol = jnp.linalg.cholesky(lam)
+        return jax.scipy.linalg.cho_solve((chol, True), rhs.T).T
+
+    def _lambda_noise(self, key, tau, fixed):
+        """sqrt(tau) * B eps with B B' = Q, per the configured solver."""
+        if self.solver == 'stencil':
+            return jnp.sqrt(tau) * stencil.noise(
+                self.lattice, fixed['lat_deg'], key, self.dtype
+            )
+        sf = fixed['sqrt_factor']
+        eps = jax.random.normal(key, (sf.shape[1],), self.dtype)
+        return jnp.sqrt(tau) * (sf @ eps)
+
+    def _update_beta_eta_blocked(self, key, state, omega_b, tau, fixed):
+        """Collapsed beta draw + conditional eta draw (rebuild addition).
+
+        The reference updates beta | eta and eta | beta separately
+        (gibbs/logit.py:211-232); their strong posterior correlation —
+        the intercept is confounded with the spatial field level — makes
+        the intercept the worst-mixing parameter. Drawing beta from its
+        *marginal* conditional (eta integrated out over the constrained
+        ICAR Gaussian) removes that correlation from the kernel while
+        leaving the stationary distribution untouched:
+
+            S    = X'OX + B - (OX)' C (OX)
+            beta ~ N(S^{-1} (X'k + B mu - (OX)' C k), S^{-1})
+            eta | beta as before,
+
+        with O = diag(omega_b) and C the hyperplane-constrained
+        covariance C v = L^{-1}v - h (1'L^{-1}v)/(1'h), h = L^{-1}1.
+        All pieces come from p+2 solves against Lambda (plus one for the
+        eta perturbation), batched into the same CG/Cholesky machinery
+        as the unblocked path.
+        """
+        k_beta, k_eps1, k_noise = jax.random.split(key, 3)
+        x = fixed['X']
+        p = self.n_beta
+        k_vec = state['k']
+        a_t = omega_b * x.T  # (p, n): rows are columns of Omega X
+
+        rhs1 = jnp.concatenate(
+            [a_t, k_vec[None, :], jnp.ones((1, self.n), self.dtype)], 0
+        )
+        warm = state.get('eta_warm')
+        warm1 = warm[: p + 2] if warm is not None else None
+        sol1 = self._lambda_solve(rhs1, warm1, omega_b, tau, fixed)
+        g, gk, h = sol1[:p], sol1[p], sol1[p + 1]
+        hsum = jnp.sum(h)
+
+        ca = g - (jnp.sum(g, axis=1, keepdims=True) / hsum) * h[None, :]
+        ck = gk - (jnp.sum(gk) / hsum) * h
+
+        s_mat = (x.T * omega_b) @ x + fixed['b_prec'] - a_t @ ca.T
+        s_mat = 0.5 * (s_mat + s_mat.T)
+        l_vec = x.T @ k_vec + fixed['b_prec_by_mu'] - a_t @ ck
+        beta = precision_mvnorm(k_beta, l_vec, s_mat)
+
+        # eta | beta: perturb-and-solve with the kriging projection,
+        # reusing h = Lambda^{-1} 1 from above
+        b_eta = k_vec - omega_b * (x @ beta)
+        eps1 = jax.random.normal(k_eps1, (self.n,), self.dtype)
+        y = b_eta + jnp.sqrt(omega_b) * eps1 + self._lambda_noise(
+            k_noise, tau, fixed
+        )
+        warm2 = warm[p + 2:p + 3] if warm is not None else None
+        sol2 = self._lambda_solve(y[None, :], warm2, omega_b, tau, fixed)
+        eta = sum_to_zero(sol2[0], h)
+        if warm is not None:
+            state['eta_warm'] = jnp.concatenate([sol1, sol2], 0)
+        return beta, eta
 
     # -------------------------- update segments ----------------------- #
 
@@ -257,7 +353,9 @@ class LogitICARGibbs(GibbsBase):
     # ----------------------------- transition ------------------------- #
 
     def _step(self, key, state, fixed):
-        """One Gibbs iteration (reference gibbs/logit.py:254-266)."""
+        """One Gibbs iteration (reference gibbs/logit.py:254-266; with
+        ``blocked=True`` the separate eta and beta draws are replaced by
+        the collapsed update, same stationary distribution)."""
         keys = jax.random.split(key, 7)
         s = dict(state)
 
@@ -266,10 +364,22 @@ class LogitICARGibbs(GibbsBase):
         omega_b = self._pg(keys[0], lin_b)
 
         tau = self._update_tau(keys[1], s['eta'], fixed)
-        eta, spatial = self._update_eta(keys[2], s, omega_b, tau, fixed)
-        s['tau'], s['eta'], s['spatial'] = tau, eta, spatial
-
-        s['beta'] = self._update_beta(keys[3], s, omega_b, spatial, fixed)
+        if self.blocked and type(self)._update_eta is \
+                LogitICARGibbs._update_eta:
+            beta, eta = self._update_beta_eta_blocked(
+                keys[2], s, omega_b, tau, fixed
+            )
+            spatial = eta
+            s['tau'], s['eta'], s['spatial'] = tau, eta, spatial
+            s['beta'] = beta
+        else:
+            eta, spatial = self._update_eta(
+                keys[2], s, omega_b, tau, fixed
+            )
+            s['tau'], s['eta'], s['spatial'] = tau, eta, spatial
+            s['beta'] = self._update_beta(
+                keys[3], s, omega_b, spatial, fixed
+            )
 
         # omega_a ~ PG(1, W alpha) over the padded visit grid; masked
         # weights make the padded draws inert (reference logit.py:180-193)

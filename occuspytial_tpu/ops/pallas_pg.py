@@ -166,6 +166,9 @@ def _pg_rows(seeds, c, ratio, k_exp):
             out_specs=spec,
         ),
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+        # unique name per instance: some TPU runtimes key loaded kernels
+        # by name, and two shapes sharing one name break at execution
+        name=f'pg_devroye_{grid}x{_BLOCK_R}',
     )(seeds, c, ratio, k_exp)
 
 
