@@ -278,6 +278,7 @@ def main():
 
     # ---- config 4 (headline): logit ICAR, 64 chains ------------------ #
     s4 = LogitICARGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'])
+    s4.scan_chunk = 128  # fewer dispatches through the device tunnel
     head = bench_config(
         'config4 logitICAR n=1000 64 chains (headline)', s4,
         HEAD['size'], HEAD['burnin'], HEAD['chains'],
