@@ -175,6 +175,38 @@ def bench_config(name, sampler, size, burnin, chains, retries=2):
     return res
 
 
+def measure_floor_config(name, sampler_factory, chains, size, burnin):
+    """Generic cached floor: sequential reference-algorithm chains."""
+    cache = _load_cache()
+    key = {'name': name, 'chains': chains, 'size': size,
+           'burnin': burnin}
+    cached = cache.get(name)
+    if cached and cached.get('config') == key:
+        log(f'floor[{name}]: cached {cached["ess_per_sec"]:.3f} ESS/sec')
+        return cached
+    s = sampler_factory()
+    outs = []
+    t0 = time.time()
+    for c in range(chains):
+        s.reset(1000 + c)
+        outs.append(s.run(size, burnin=burnin))
+    wall = time.time() - t0
+    samples = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+    ess = min_ess_per_param(samples)
+    res = {
+        'config': key,
+        'wall_sec': round(wall, 2),
+        'iters_per_sec': round(chains * size / wall, 2),
+        'min_ess': round(ess, 1),
+        'ess_per_sec': round(ess / wall, 4),
+    }
+    cache[name] = res
+    _save_cache(cache)
+    log(f'floor[{name}]: {res["iters_per_sec"]} it/s, min pooled ESS '
+        f'{res["min_ess"]} -> {res["ess_per_sec"]} ESS/sec')
+    return res
+
+
 def run_one(which):
     """Run a single config in this process; print its JSON result."""
     import jax
@@ -194,10 +226,22 @@ def run_one(which):
     if which in ('1', '2'):
         Q1, W1, X1, y1, *_ = make_lattice_dataset(10, 10, ns=50, seed=3)
         if which == '1':
+            from benchmarks.reference_floor import NumpyLogitICAR
+
+            floor = measure_floor_config(
+                'floor1_logit_icar_100site',
+                lambda: NumpyLogitICAR(Q1, W1, X1, y1, random_state=3),
+                chains=4, size=2048, burnin=512,
+            )
             s = LogitICARGibbs(Q1, W1, X1, y1, random_state=3)
             res = bench_config(
                 'config1 logitICAR n=100 1 chain', s, 4096, 1024, 1,
             )
+            if 'ess_per_sec' in res:
+                res['floor_ess_per_sec'] = floor['ess_per_sec']
+                res['vs_floor'] = round(
+                    res['ess_per_sec'] / floor['ess_per_sec'], 2
+                )
         else:
             s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
             res = bench_config(
@@ -209,11 +253,24 @@ def run_one(which):
             min_v=HEAD['min_v'], max_v=HEAD['max_v'],
             random_state=HEAD['seed'],
         )
+        from benchmarks.reference_floor import NumpyLogitRSR
+
+        floor = measure_floor_config(
+            'floor3_logit_rsr_1000site',
+            lambda: NumpyLogitRSR(Qh, Wh, Xh, yh,
+                                  random_state=HEAD['seed'], q=100),
+            chains=4, size=1500, burnin=500,
+        )
         s = LogitRSRGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'],
                           q=100)
         res = bench_config(
             'config3 logitRSR n=1000 q=100 64 chains', s, 3008, 1024, 64,
         )
+        if 'ess_per_sec' in res:
+            res['floor_ess_per_sec'] = floor['ess_per_sec']
+            res['vs_floor'] = round(
+                res['ess_per_sec'] / floor['ess_per_sec'], 2
+            )
     elif which == '5':
         Q5, W5, X5, y5, *_ = make_lattice_dataset(
             100, 100, ns=5000, seed=11, min_v=2, max_v=5,

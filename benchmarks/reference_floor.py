@@ -287,3 +287,102 @@ class NumpyLogitICAR:
                 out_beta[i - burnin] = self.beta
                 out_tau[i - burnin] = self.tau
         return {'alpha': out_alpha, 'beta': out_beta, 'tau': out_tau}
+
+
+class NumpyLogitRSR(NumpyLogitICAR):
+    """Reference-equivalent logit/RSR Gibbs sampler (CPU floor).
+
+    Same algorithm as the reference's RSR variant (reference
+    gibbs/logit.py:340-485): eta lives in the top-q Moran eigenbasis,
+    its conditional is a dense q x q Gaussian solved by Cholesky, and
+    ``spatial = K @ eta`` enters every site-level quantity.
+    """
+
+    def __init__(self, Q, W, X, y, random_state=None, q=None, r=0.5):
+        super().__init__(Q, W, X, y, random_state=random_state)
+        x = self.X
+        n = self.n
+        # Moran operator basis (reference gibbs/logit.py:415-447)
+        xtx_inv_xt = np.linalg.solve(x.T @ x, x.T)
+        p_mat = -(x @ xtx_inv_xt)
+        p_mat[np.diag_indices_from(p_mat)] += 1.0
+        q_dense = self.Q.toarray()
+        a = -q_dense.copy()
+        np.fill_diagonal(a, 0.0)
+        moran = n * (p_mat.T @ a @ p_mat) / a.sum()
+        w_eig, v_eig = np.linalg.eigh(moran)
+        q_dim = int(q) if q else int((w_eig >= r).sum())
+        self.K = v_eig[:, -q_dim:]
+        self.Q_rsr = self.K.T @ q_dense @ self.K
+        self.q_dim = q_dim
+        self.tau_shape = 0.5 + 0.5 * q_dim
+        s_eig, u_eig = np.linalg.eigh(self.Q_rsr)
+        self.rsr_eigen = u_eig * np.sqrt(np.clip(s_eig, 0, None))
+        self.reset(random_state)
+
+    def reset(self, random_state=None):
+        super().reset(random_state)
+        if hasattr(self, 'q_dim'):
+            self.eta = self.rng.normal(scale=5, size=self.q_dim)
+            self.spatial = self.K @ self.eta
+
+    def _eta_draw_rsr(self, omega_b):
+        """Dense q-dim draw (reference gibbs/logit.py:325-337)."""
+        k_mat = self.K
+        b = k_mat.T @ (self.k - omega_b * (self.X @ self.beta))
+        factor1 = k_mat.T * np.sqrt(omega_b)
+        eps = self.rng.standard_normal(self.n + self.q_dim)
+        pert = (
+            b
+            + factor1 @ eps[:self.n]
+            + np.sqrt(self.tau) * (self.rsr_eigen @ eps[self.n:])
+        )
+        prec = factor1 @ factor1.T + self.tau * self.Q_rsr
+        return np.linalg.solve(prec, pert)
+
+    def step(self):
+        rng = self.rng
+        lin_b = self.X @ self.beta + self.spatial
+        omega_b = pg_devroye_np(rng, lin_b)
+        rate = 0.5 * self.eta @ (self.Q_rsr @ self.eta) + self.tau_rate
+        self.tau = rng.gamma(self.tau_shape, 1.0 / rate)
+        self.eta = self._eta_draw_rsr(omega_b)
+        self.spatial = self.K @ self.eta
+        a_mat = (self.X.T * omega_b) @ self.X + self.b_prec
+        b_vec = self.X.T @ (self.k - omega_b * self.spatial) \
+            + self.b_prec_by_mu
+        self.beta = _prec_mvnorm_np(rng, b_vec, a_mat)
+
+        occupied = self.z[self.site_ids] > 0
+        seg_occ = np.flatnonzero(occupied)
+        rows = np.concatenate([
+            np.arange(self.sections[i], self.sections[i + 1])
+            for i in seg_occ
+        ]) if seg_occ.size else np.empty(0, dtype=int)
+        w_occ = self.W_stack[rows]
+        omega_a = pg_devroye_np(rng, w_occ @ self.alpha)
+        a_mat = (w_occ.T * omega_a) @ w_occ + self.a_prec
+        b_vec = w_occ.T @ (self.y_stack[rows] - 0.5) + self.a_prec_by_mu
+        self.alpha = _prec_mvnorm_np(rng, b_vec, a_mat)
+
+        no_ids = self.site_ids[~self.obs_site]
+        psi_no = 1.0 / (1.0 + np.exp(
+            -(self.X[no_ids] @ self.beta + self.spatial[no_ids])
+        ))
+        det = 1.0 / (1.0 + np.exp(self.W_stack @ self.alpha))
+        log_det = np.log(det)
+        seg_no = np.flatnonzero(~self.obs_site)
+        prod_miss = np.exp(np.array([
+            log_det[self.sections[i]:self.sections[i + 1]].sum()
+            for i in seg_no
+        ]))
+        num = psi_no * prod_miss
+        p_no = num / (1.0 - psi_no + num)
+        self.z[no_ids] = rng.random(no_ids.size) < p_no
+        if self.not_surveyed.size:
+            ns = self.not_surveyed
+            p_ns = 1.0 / (1.0 + np.exp(
+                -(self.X[ns] @ self.beta + self.spatial[ns])
+            ))
+            self.z[ns] = rng.random(ns.size) < p_ns
+        self.k = self.z - 0.5

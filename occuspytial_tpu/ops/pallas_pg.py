@@ -22,7 +22,6 @@ across blocks, iterations and runs. Lanes within a block draw independent
 bits from the block stream.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

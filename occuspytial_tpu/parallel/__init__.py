@@ -12,13 +12,9 @@ gibbs/parallel.py:38-41). Cross-chain work (pooled ESS / R-hat) happens
 once at the end, on gathered summaries.
 """
 
-from contextlib import nullcontext
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..posterior import PosteriorParameter
 
 
 def chain_mesh(n_devices=None, devices=None):
@@ -52,8 +48,6 @@ def sample_parallel(
 
     Returns a :class:`~occuspytial_tpu.posterior.PosteriorParameter`.
     """
-    from ..models.base import _get_runner
-
     if mesh is None:
         mesh = chain_mesh()
     n_dev = mesh.devices.size
@@ -67,38 +61,12 @@ def sample_parallel(
     if burnin >= size:
         raise ValueError('burnin value cannot be larger than sample size')
 
-    run, init = _get_runner(type(sampler), sampler._static_config())
-
-    root = jax.random.key(sampler._seed, impl=sampler.rng_impl)
-    init_keys = jax.random.split(jax.random.fold_in(root, 1), chains)
-    run_keys = jax.random.split(jax.random.fold_in(root, 2), chains)
-
-    state0 = init(init_keys, sampler.fixed)
-    if start is not None:
-        state0 = jax.vmap(lambda s: sampler._apply_start(s, start))(state0)
-
-    # shard per-chain operands; fixed data replicates automatically
-    run_keys = shard_chains(run_keys, mesh)
-    state0 = shard_chains(state0, mesh)
-
-    chunk = max(1, int(sampler.scan_chunk))
-    n_chunks = -(-size // chunk)
-    bar = nullcontext()
-    if progressbar:
-        from tqdm.auto import tqdm
-
-        bar = tqdm(total=size)
-    carry, outs = (run_keys, state0), []
-    with bar as b:
-        for i in range(n_chunks):
-            carry, out = run(carry[0], carry[1], sampler.fixed, size=chunk)
-            outs.append(out)
-            if progressbar:
-                jax.block_until_ready(out)
-                b.update(min(chunk, size - i * chunk))
-
-    merged = {}
-    for name in sampler.posterior_names:
-        arr = np.concatenate([np.asarray(o[name]) for o in outs])[:size]
-        merged[name] = np.moveaxis(arr, 0, 1)[:, burnin:]
-    return PosteriorParameter(merged)
+    # build the per-chain carry, shard it over the mesh, and let the
+    # regular driver run it: the compiled scan becomes an SPMD program
+    # through sharding propagation alone
+    carry = sampler.init_carry(chains, start)
+    carry = shard_chains(carry, mesh)
+    return sampler.sample(
+        size, burnin=burnin, chains=chains, progressbar=progressbar,
+        resume_from=carry,
+    )
