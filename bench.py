@@ -136,23 +136,22 @@ def measure_floor_headline(dataset):
     return res
 
 
-def bench_config(name, sampler, size, burnin, chains, retries=2,
-                 timed_runs=2):
+def bench_config(name, sampler, size, burnin, chains, retries=2):
+    # exactly ONE timed run per process: a second back-to-back run in the
+    # same process reliably dies with INVALID_ARGUMENT through the device
+    # tunnel (sustained dispatch + Pallas custom calls). Load-robustness
+    # comes from best-of-N at the *subprocess* level instead
+    # (run_subprocess_config best_of=...); the draws are identical per run.
     last = None
     for attempt in range(retries + 1):
         try:
             sampler.sample(
                 sampler.scan_chunk, chains=chains, progressbar=False
             )
-            # best-of-N timing: wall clock is sensitive to transient host
-            # load on the device tunnel; the draws are identical per run
-            wall = None
-            for _ in range(timed_runs):
-                t0 = time.time()
-                post = sampler.sample(size, burnin=burnin, chains=chains,
-                                      progressbar=False)
-                w = time.time() - t0
-                wall = w if wall is None else min(wall, w)
+            t0 = time.time()
+            post = sampler.sample(size, burnin=burnin, chains=chains,
+                                  progressbar=False)
+            wall = time.time() - t0
             break
         except Exception as exc:  # transient tunnel/runtime errors
             last = exc
@@ -305,12 +304,19 @@ def run_one(which):
     print('RESULT ' + json.dumps(res))
 
 
-def run_subprocess_config(which, attempts=2):
+def run_subprocess_config(which, attempts=2, best_of=1):
     """Run one config in fresh processes (isolates transient TPU
-    runtime faults); retry with a brand-new process on failure."""
+    runtime faults); retry with a brand-new process on failure.
+
+    ``best_of``: keep launching fresh processes until that many runs
+    succeed (or ``attempts`` processes were tried) and return the
+    fastest — wall clock through the device tunnel is host-load
+    sensitive, while the draws themselves are seed-deterministic.
+    """
     import subprocess
 
     last = None
+    successes = []
     for attempt in range(attempts):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--config', which],
@@ -323,7 +329,10 @@ def run_subprocess_config(which, attempts=2):
         if parsed is not None and 'error' not in parsed:
             log(f'{parsed.get("config", which)}: '
                 f'{parsed.get("ess_per_sec")} ESS/sec')
-            return parsed
+            successes.append(parsed)
+            if len(successes) >= best_of:
+                break
+            continue
         if parsed is not None:
             last = parsed
         else:
@@ -333,6 +342,8 @@ def run_subprocess_config(which, attempts=2):
         log(f'config {which}: attempt {attempt} failed; '
             f'retrying in a fresh process')
         time.sleep(10)
+    if successes:
+        return max(successes, key=lambda r: r.get('ess_per_sec', 0.0))
     return last or {'config': which, 'error': 'all attempts failed'}
 
 
@@ -363,7 +374,7 @@ def main():
     floor = measure_floor_headline((Qh, Wh, Xh, yh))
 
     # ---- every TPU config in fresh subprocesses ----------------------- #
-    head = run_subprocess_config('4', attempts=3)
+    head = run_subprocess_config('4', attempts=4, best_of=2)
     detail['4_logit_icar_1000site_64chains'] = head
     detail['floor_headline'] = floor
 
@@ -373,6 +384,8 @@ def main():
         try:
             with open(DETAIL + '.last_good') as fh:
                 stale = json.load(fh)
+            if stale.get('ess_per_sec', 0.0) <= 0.0:
+                raise ValueError('last_good holds no real measurement')
             head = dict(stale, stale=True)
             detail['4_logit_icar_1000site_64chains'] = head
             log('headline: using last-good (stale) measurement')
@@ -391,7 +404,11 @@ def main():
     detail['vs_baseline_headline'] = round(vs, 2)
     with open(DETAIL, 'w') as fh:
         json.dump(detail, fh, indent=1)
-    if 'ess_per_sec' in head and not head.get('stale'):
+    # only a real successful measurement may become the stale-fallback;
+    # never persist a failure sentinel (round-1 bug: a 0.0 got written
+    # here and was then read back as "last good" forever after)
+    if (head.get('ess_per_sec', 0.0) > 0.0 and 'error' not in head
+            and not head.get('stale')):
         with open(DETAIL + '.last_good', 'w') as fh:
             json.dump(head, fh, indent=1)
     log(f'detail written to {DETAIL}')
