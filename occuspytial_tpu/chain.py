@@ -53,14 +53,22 @@ class Chain:
         ``params`` maps name -> (m[, dim]) array. TPU-rebuild addition: the
         chunked scan driver emits draws in blocks, not one at a time.
         """
-        m = None
-        for key, value in params.items():
-            value = np.asarray(value)
-            m = value.shape[0] if m is None else m
-            if self._index + m > self.size:
-                raise ValueError('Chain is full, cannot append any new values')
+        # validate every block before writing anything: a mid-write error
+        # must not leave the store partially updated or out of sync with
+        # the fill index
+        blocks = {k: np.asarray(v) for k, v in params.items()}
+        lengths = {v.shape[0] for v in blocks.values()}
+        if len(lengths) > 1:
+            raise ValueError(
+                f'all parameter blocks must share one leading length, '
+                f'got {sorted(lengths)}'
+            )
+        m = lengths.pop() if lengths else 0
+        if self._index + m > self.size:
+            raise ValueError('Chain is full, cannot append any new values')
+        for key, value in blocks.items():
             self._store[key][self._index:self._index + m] = value
-        self._index += m or 0
+        self._index += m
 
     def expand(self, size):
         """Grow capacity by ``size`` rows (reference chain.py:76-92)."""

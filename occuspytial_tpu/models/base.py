@@ -365,9 +365,18 @@ class GibbsBase:
 
         bar = None
         if progressbar:
-            from tqdm.auto import tqdm
+            try:
+                from tqdm.auto import tqdm
+            except ImportError:  # tqdm is an optional extra
+                import warnings
 
-            bar = tqdm(total=size)
+                warnings.warn(
+                    'tqdm is not installed; sampling without a progress '
+                    "bar (pip install 'occuspytial-tpu[analysis]')",
+                    stacklevel=2,
+                )
+            else:
+                bar = tqdm(total=size)
         carry, outs = (run_keys, state0), []
         try:
             for i, ln in enumerate(lengths):
@@ -396,8 +405,18 @@ class GibbsBase:
     def copy(self):
         """Return a same-model sampler with an independent random stream
         (API parity with reference gibbs/base.py:293-306). Shares the
-        compiled runner with the original — no recompilation."""
+        compiled runner with the original — no recompilation.
+
+        Each successive copy gets a distinct stream: the seed is derived
+        from (parent seed, spawn counter) through ``SeedSequence.spawn``
+        — the analog of the reference's per-copy spawned child streams —
+        so ``[s.copy() for _ in range(4)]`` never yields two identical
+        chains and never collides with ``random_state=seed+1``.
+        """
         out = self.__class__.__new__(self.__class__)
         out.__dict__.update(self.__dict__)
-        out._seed = self._seed + 1
+        self._n_spawned = getattr(self, '_n_spawned', 0) + 1
+        children = np.random.SeedSequence(self._seed).spawn(self._n_spawned)
+        out._seed = int(children[-1].generate_state(1)[0])
+        out._n_spawned = 0
         return out

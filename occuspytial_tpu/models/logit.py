@@ -203,6 +203,48 @@ class LogitICARGibbs(GibbsBase):
         eps = jax.random.normal(key, (sf.shape[1],), self.dtype)
         return jnp.sqrt(tau) * (sf @ eps)
 
+    def solver_residual(self, carry=None):
+        """Max relative residual of the configured eta solver (diagnostic).
+
+        Builds the blocked update's right-hand sides at a representative
+        state (the initial carry, or a supplied one), runs the configured
+        solver *cold* (no warm start — in-loop solves only do better), and
+        returns ``max_i ||Lambda x_i - b_i|| / ||b_i||``. Use this to
+        detect an under-budgeted fixed-iteration CG at scale: the exact
+        Cholesky path reports ~1e-6, a converged CG <1e-3, and a starved
+        CG orders of magnitude more. (The reference's MINRES raised on
+        non-convergence, gibbs/logit.py:91-92; the fixed-budget TPU solver
+        trades that for this explicit check.)
+        """
+        if carry is None:
+            carry = self.init_carry(chains=1)
+        _, states = carry
+        state = {k: v[0] for k, v in states.items()}
+        fixed = self.fixed
+        lin_b = fixed['X'] @ state['beta'] + state['spatial']
+        omega = pg_devroye(jax.random.key(0), lin_b)
+        tau = jnp.asarray(state['tau'], self.dtype)
+        k_vec = state['z'] - 0.5
+        x = fixed['X']
+        rhs = jnp.concatenate(
+            [
+                omega * x.T,
+                k_vec[None, :],
+                jnp.ones((1, self.n), self.dtype),
+            ],
+            0,
+        )
+        sol = self._lambda_solve(rhs, jnp.zeros_like(rhs), omega, tau, fixed)
+        if self.solver == 'stencil':
+            qsol = jax.vmap(
+                lambda v: stencil.matvec(self.lattice, fixed['lat_deg'], v)
+            )(sol)
+        else:
+            qsol = sol @ fixed['Q'].T
+        resid = tau * qsol + omega * sol - rhs
+        rel = jnp.linalg.norm(resid, axis=1) / jnp.linalg.norm(rhs, axis=1)
+        return float(jnp.max(rel))
+
     def _update_beta_eta_blocked(self, key, state, omega_b, tau, fixed):
         """Collapsed beta draw + conditional eta draw (rebuild addition).
 
@@ -403,8 +445,11 @@ class LogitRSRGibbs(LogitICARGibbs):
 
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None, r=0.5, q=None,
-        dtype=jnp.float32, pg_method='devroye',
+        dtype=jnp.float32, pg_method=None,
     ):
+        # pg_method=None auto-selects like the ICAR sampler (fused Pallas
+        # kernel on TPU): the PG rejection rounds dominate the RSR step,
+        # so this is exactly the config where the fused kernel matters
         self._rsr_r = r
         self._rsr_q = q
         super().__init__(

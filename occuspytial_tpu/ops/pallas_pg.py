@@ -16,10 +16,13 @@ semantics as the JAX sampler (see ops/polyagamma.py for the derivation
 and the bias analysis of branch re-flipping).
 
 Randomness: each grid block seeds the core PRNG with a per-block seed row
-derived from the caller's jax PRNG key (all batched chains' key material
-is mixed in), so draws are reproducible for a fixed key and independent
-across blocks, iterations and runs. Lanes within a block draw independent
-bits from the block stream.
+derived from the caller's jax PRNG key, so draws are reproducible for a
+fixed key and independent across blocks, iterations and runs. Under
+``vmap`` every batched chain's rows are seeded from that chain's *own*
+key material (one or more grid blocks per chain), so a chain's draws are
+a function of its key alone — the same contract as the threefry sampler
+(models/base.py: one key per chain). Lanes within a block draw
+independent bits from the block stream.
 """
 
 
@@ -149,12 +152,19 @@ def _pg_kernel(seeds_ref, c_ref, ratio_ref, kexp_ref, out_ref):
     out_ref[:] = 0.25 * x
 
 
-def _pg_rows(seeds, c, ratio, k_exp):
-    """Run the kernel over (rows, 128) tiles; rows % _BLOCK_R == 0."""
+def _block_rows(rows):
+    """Rows per grid block: small inputs get one right-sized block
+    (multiple of the 8-sublane tile) instead of padding to 256 rows —
+    a 1000-element draw then costs a (8, 128) tile, not (256, 128)."""
+    return min(_BLOCK_R, -(-rows // 8) * 8)
+
+
+def _pg_rows(seeds, c, ratio, k_exp, block_r=_BLOCK_R):
+    """Run the kernel over (rows, 128) tiles; rows % block_r == 0."""
     rows = c.shape[0]
-    grid = rows // _BLOCK_R
+    grid = rows // block_r
     spec = pl.BlockSpec(
-        (_BLOCK_R, _LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM,
+        (block_r, _LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
         _pg_kernel,
@@ -167,7 +177,7 @@ def _pg_rows(seeds, c, ratio, k_exp):
         out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
         # unique name per instance: some TPU runtimes key loaded kernels
         # by name, and two shapes sharing one name break at execution
-        name=f'pg_devroye_{grid}x{_BLOCK_R}',
+        name=f'pg_devroye_{grid}x{block_r}',
     )(seeds, c, ratio, k_exp)
 
 
@@ -178,28 +188,61 @@ def _key_words(key):
     return flat.astype(jnp.uint32).astype(jnp.int32)
 
 
+def _pg_inputs(z_pad):
+    """Precompute the z-dependent mixture tiles for padded (rows, 128) z."""
+    c = 0.5 * jnp.abs(z_pad)
+    ratio = _mass_texpon(c)
+    k_exp = jnp.pi * jnp.pi / 8.0 + 0.5 * c * c
+    return c, ratio, k_exp
+
+
 def _pg_flat(kw, z_flat):
     """PG(1, z) over a flat vector given (2,) int32 key words."""
     m = z_flat.shape[0]
     rows = -(-m // _LANES)
-    rows_pad = -(-rows // _BLOCK_R) * _BLOCK_R
-    grid = rows_pad // _BLOCK_R
+    block_r = _block_rows(rows)
+    rows_pad = -(-rows // block_r) * block_r
+    grid = rows_pad // block_r
 
     z_pad = jnp.zeros(rows_pad * _LANES, jnp.float32).at[:m].set(
         z_flat.astype(jnp.float32)
     ).reshape(rows_pad, _LANES)
-
-    c = 0.5 * jnp.abs(z_pad)
-    ratio = _mass_texpon(c)
-    k_exp = jnp.pi * jnp.pi / 8.0 + 0.5 * c * c
 
     block_ids = jnp.arange(grid, dtype=jnp.int32)
     seeds = jnp.stack(
         [kw[0] + block_ids * _GOLD, jnp.broadcast_to(kw[1], (grid,))],
         axis=1,
     )
-    out = _pg_rows(seeds, c, ratio, k_exp)
+    out = _pg_rows(seeds, *_pg_inputs(z_pad), block_r=block_r)
     return out.reshape(-1)[:m].astype(z_flat.dtype)
+
+
+def _pg_batched(kw, z_batch):
+    """Per-chain PG draws: chain b's grid blocks are seeded from kw[b]
+    alone, so each chain's stream is a function of its own key (the
+    threefry sampler's contract) — not of the other chains' keys."""
+    n_batch, m = z_batch.shape
+    rows = -(-m // _LANES)
+    block_r = _block_rows(rows)
+    rows_pad = -(-rows // block_r) * block_r
+    nblk = rows_pad // block_r
+
+    z_pad = jnp.zeros((n_batch, rows_pad * _LANES), jnp.float32).at[
+        :, :m
+    ].set(z_batch.astype(jnp.float32))
+    z_pad = z_pad.reshape(n_batch * rows_pad, _LANES)
+
+    block_ids = jnp.arange(nblk, dtype=jnp.int32)
+    seeds = jnp.stack(
+        [
+            kw[:, 0][:, None] + block_ids[None, :] * _GOLD,
+            jnp.broadcast_to(kw[:, 1][:, None], (n_batch, nblk)),
+        ],
+        axis=2,
+    ).reshape(n_batch * nblk, 2)
+    out = _pg_rows(seeds, *_pg_inputs(z_pad), block_r=block_r)
+    out = out.reshape(n_batch, rows_pad * _LANES)[:, :m]
+    return out.astype(z_batch.dtype)
 
 
 @jax.custom_batching.custom_vmap
@@ -213,12 +256,10 @@ def _pg_core_vmap(axis_size, in_batched, kw, z_flat):
     if not z_batched:
         z_flat = jnp.broadcast_to(z_flat, (axis_size,) + z_flat.shape)
     if kw_batched:
-        # mix all chains' key material so every key influences the stream
-        mixed = jax.lax.reduce_xor(kw.astype(jnp.uint32), axes=(0,))
-        kw0 = mixed.astype(jnp.int32)
+        out = _pg_batched(kw, z_flat.reshape(axis_size, -1))
     else:
-        kw0 = kw
-    out = _pg_flat(kw0, z_flat.reshape(-1))
+        # one key for every chain: a single flat stream of that key
+        out = _pg_flat(kw, z_flat.reshape(-1))
     return out.reshape(z_flat.shape), True
 
 

@@ -55,3 +55,17 @@ def test_extend_block():
 def test_repr():
     c = Chain({'tau': 1}, 2)
     assert 'tau' in repr(c)
+
+
+def test_extend_validates_before_writing():
+    # regression (ADVICE r1): a failing extend must not partially write
+    c = Chain({'alpha': 2, 'tau': 1}, 4)
+    c.extend({'alpha': np.ones((2, 2)), 'tau': np.ones(2)})
+    with pytest.raises(ValueError, match='Chain is full'):
+        c.extend({'alpha': np.zeros((3, 2)), 'tau': np.zeros(3)})
+    assert len(c) == 2
+    np.testing.assert_array_equal(c['alpha'], np.ones((2, 2)))
+    with pytest.raises(ValueError, match='share one leading length'):
+        c.extend({'alpha': np.zeros((2, 2)), 'tau': np.zeros(1)})
+    assert len(c) == 2
+    np.testing.assert_array_equal(c['tau'], np.ones(2))

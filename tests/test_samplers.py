@@ -1,7 +1,11 @@
-"""Sampler behavioral tests (mirrors reference
-gibbs/tests/test_samplers.py). All four samplers are exercised — including
-the probit ones the reference marks xfail (reference
-gibbs/tests/test_samplers.py:33)."""
+"""Behavioral contracts of the four Gibbs samplers.
+
+Coverage model follows the reference's sampler test strategy (SURVEY.md
+§4: shape contracts, seeded reproducibility, start overrides, input
+validation) but exercises all four rebuild samplers — including the
+probit family the reference marks xfail — plus rebuild-specific behavior
+(copy-stream independence, alternate PG backends).
+"""
 
 import numpy as np
 import pytest
@@ -15,21 +19,30 @@ from occuspytial_tpu import (
 from occuspytial_tpu.models.base import GibbsBase
 from occuspytial_tpu.utils import get_generator, make_data
 
+# one shared 150-site dataset for every test in the module (n=150 is the
+# simulator minimum; 90 surveyed sites, 1-8 visits, 3 occupancy and 2
+# detection covariates)
+Q, W, X, y = make_data(
+    n=150, ns=90, p=3, q=2, min_v=1, max_v=8, random_state=42,
+)[:4]
+
+
+def alternate_hyperparams():
+    """A full non-default hyperparameter set (every key differs from the
+    defaults of models/base.py:_set_hyperparams)."""
+    gen = get_generator(5)
+    return {
+        'tau_rate': 2.0,
+        'tau_shape': 4.0,
+        'a_mu': gen.standard_normal(2),
+        'a_prec': 2.0 * np.eye(2),
+        'b_mu': gen.standard_normal(3),
+        'b_prec': 0.5 * np.eye(3),
+    }
+
+
 rng = get_generator(random_state=10)
-
-Q, W, X, y, alpha, beta, tau, z = make_data(
-    min_v=2, max_v=10, ns=100, p=3, q=2, tau_range=(0.25, 1.5),
-    random_state=10,
-)
-
-hypers = {
-    'tau_rate': 1.0,
-    'tau_shape': 5.0,
-    'a_mu': rng.random(2),
-    'b_mu': rng.random(3),
-    'a_prec': np.eye(2),
-    'b_prec': np.eye(3),
-}
+hypers = alternate_hyperparams()
 
 SAMPLERS = [LogitRSRGibbs, LogitICARGibbs, ProbitRSRGibbs, ProbitICARGibbs]
 
@@ -156,3 +169,38 @@ def test_pg_gamma_method_runs():
     s = LogitRSRGibbs(Q, W, X, y, random_state=3, pg_method='gamma')
     samples = s.sample(5, chains=1, progressbar=False)
     assert np.isfinite(samples['alpha']).all()
+
+
+def test_successive_copies_get_distinct_streams():
+    # regression (ADVICE r1): two copies of one sampler must not share a
+    # seed, nor collide with a sampler constructed at seed+1
+    s = LogitICARGibbs(Q, W, X, y, random_state=10)
+    copies = [s.copy() for _ in range(3)]
+    seeds = {c._seed for c in copies}
+    assert len(seeds) == 3
+    assert s._seed not in seeds
+    assert 11 not in seeds
+    d0 = copies[0].sample(3, chains=1, progressbar=False)
+    d1 = copies[1].sample(3, chains=1, progressbar=False)
+    assert not np.allclose(d0['alpha'], d1['alpha'])
+
+
+def test_copy_of_copy_is_also_distinct():
+    s = LogitICARGibbs(Q, W, X, y, random_state=10)
+    c1 = s.copy()
+    c2 = c1.copy()
+    assert len({s._seed, c1._seed, c2._seed}) == 3
+
+
+def test_solver_residual_diagnostic():
+    # the diagnostic distinguishes a converged solver from a starved one
+    exact = LogitICARGibbs(Q, W, X, y, random_state=0)  # chol at n=150
+    r_exact = exact.solver_residual()
+    assert r_exact < 1e-3
+    cg = LogitICARGibbs(Q, W, X, y, random_state=0, solver='cg')
+    r_cg = cg.solver_residual()
+    assert r_cg < 1e-2
+    starved = LogitICARGibbs(
+        Q, W, X, y, random_state=0, solver='cg', cg_iters=1,
+    )
+    assert starved.solver_residual() > r_cg
