@@ -260,10 +260,24 @@ def run_one(which):
                     res['ess_per_sec'] / floor['ess_per_sec'], 2
                 )
         else:
+            # floor: the reference's only probit sampler is the RSR one
+            # (gibbs/probit.py:27-270); measured on the same dataset
+            from benchmarks.reference_floor import NumpyProbitRSR
+
+            floor = measure_floor_config(
+                'floor2_probit_rsr_100site',
+                lambda: NumpyProbitRSR(Q1, W1, X1, y1, random_state=3),
+                chains=4, size=2048, burnin=512,
+            )
             s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
             res = bench_config(
                 'config2 probitICAR n=100 16 chains', s, 2048, 512, 16,
             )
+            if 'ess_per_sec' in res:
+                res['floor_ess_per_sec'] = floor['ess_per_sec']
+                res['vs_floor'] = round(
+                    res['ess_per_sec'] / floor['ess_per_sec'], 2
+                )
     elif which == '3':
         Qh, Wh, Xh, yh, *_ = make_data(
             n=HEAD['n'], ns=HEAD['ns'], p=HEAD['p'], q=HEAD['q'],
@@ -292,6 +306,16 @@ def run_one(which):
         Q5, W5, X5, y5, *_ = make_lattice_dataset(
             100, 100, ns=5000, seed=11, min_v=2, max_v=5,
         )
+        # floor: the reference's own large-n path (sparse block MINRES
+        # eta draw, gibbs/logit.py:80-92) at n=10000, single core. Short
+        # run (it is minutes/chain even so), cached like all floors.
+        from benchmarks.reference_floor import NumpyLogitICAR
+
+        floor = measure_floor_config(
+            'floor5_logit_icar_10000site',
+            lambda: NumpyLogitICAR(Q5, W5, X5, y5, random_state=11),
+            chains=2, size=400, burnin=100,
+        )
         s = LogitICARGibbs(
             Q5, W5, X5, y5, random_state=11, lattice=(100, 100, 8),
         )
@@ -299,6 +323,11 @@ def run_one(which):
             'config5 logitICAR n=10000 stencil 16 chains', s, 1024, 256,
             16,
         )
+        if 'ess_per_sec' in res:
+            res['floor_ess_per_sec'] = floor['ess_per_sec']
+            res['vs_floor'] = round(
+                res['ess_per_sec'] / floor['ess_per_sec'], 2
+            )
     else:
         raise SystemExit(f'unknown config {which}')
     print('RESULT ' + json.dumps(res))

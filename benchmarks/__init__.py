@@ -1,0 +1,1 @@
+"""Measured single-core CPU reference floors (BASELINE.md)."""

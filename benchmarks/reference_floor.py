@@ -289,6 +289,23 @@ class NumpyLogitICAR:
         return {'alpha': out_alpha, 'beta': out_beta, 'tau': out_tau}
 
 
+def _truncnorm_right(rng, loc):
+    """Draw from N(loc, 1) truncated to (0, inf), inverse-CDF method
+    (the scheme of reference gibbs/probit.py:11-16, 186-194)."""
+    from scipy.special import ndtr, ndtri
+
+    u = rng.random(loc.shape[0])
+    return -ndtri(ndtr(loc) * (1.0 - u)) + loc
+
+
+def _truncnorm_left(rng, loc):
+    """Draw from N(loc, 1) truncated to (-inf, 0)."""
+    from scipy.special import ndtr, ndtri
+
+    u = rng.random(loc.shape[0])
+    return ndtri(ndtr(-loc) * u) + loc
+
+
 class NumpyLogitRSR(NumpyLogitICAR):
     """Reference-equivalent logit/RSR Gibbs sampler (CPU floor).
 
@@ -384,5 +401,97 @@ class NumpyLogitRSR(NumpyLogitICAR):
             p_ns = 1.0 / (1.0 + np.exp(
                 -(self.X[ns] @ self.beta + self.spatial[ns])
             ))
+            self.z[ns] = rng.random(ns.size) < p_ns
+        self.k = self.z - 0.5
+
+
+class NumpyProbitRSR(NumpyLogitRSR):
+    """Reference-equivalent probit/RSR Gibbs sampler (CPU floor).
+
+    The algorithm of reference gibbs/probit.py:27-270: Albert-Chib
+    truncated-normal latent utilities with the extra heteroskedastic
+    site effect ``eps`` (gibbs/probit.py:216-221), eta in the Moran
+    basis with precision K'K + tau*Q_rsr (gibbs/probit.py:223-229),
+    beta with the fixed precision X'X + b_prec (gibbs/probit.py:237),
+    update order omega_b -> tau -> eps -> eta -> beta -> omega_a ->
+    alpha -> z (gibbs/probit.py:262-270).
+    """
+
+    def __init__(self, Q, W, X, y, random_state=None, q=None, r=0.5):
+        super().__init__(Q, W, X, y, random_state=random_state, q=q, r=r)
+        self.KTK = self.K.T @ self.K
+        self.XTX_plus_bprec = self.X.T @ self.X + self.b_prec
+        self.reset(random_state)
+
+    def reset(self, random_state=None):
+        super().reset(random_state)
+        self.eps = self.rng.standard_normal(self.n)
+        self.omega_b = np.zeros(self.n)
+
+    def step(self):
+        from scipy.special import log_ndtr, ndtr
+
+        rng = self.rng
+        # latent occupancy utilities, truncated by current z
+        loc = self.X @ self.beta + self.spatial + self.eps
+        occ = self.z > 0
+        self.omega_b[occ] = _truncnorm_right(rng, loc[occ])
+        self.omega_b[~occ] = _truncnorm_left(rng, loc[~occ])
+
+        rate = 0.5 * self.eta @ (self.Q_rsr @ self.eta) + self.tau_rate
+        self.tau = rng.gamma(self.tau_shape, 1.0 / rate)
+
+        mean = 0.5 * (self.omega_b - self.X @ self.beta - self.spatial)
+        self.eps = mean + rng.standard_normal(self.n) / np.sqrt(2.0)
+
+        a_mat = self.KTK + self.tau * self.Q_rsr
+        b_vec = self.K.T @ (
+            self.omega_b - self.X @ self.beta - self.eps
+        )
+        self.eta = _prec_mvnorm_np(rng, b_vec, a_mat)
+        self.spatial = self.K @ self.eta
+
+        b_vec = self.b_prec_by_mu + self.X.T @ (
+            self.omega_b - self.spatial - self.eps
+        )
+        self.beta = _prec_mvnorm_np(rng, b_vec, self.XTX_plus_bprec)
+
+        # latent detection utilities over currently-occupied sites
+        occupied = self.z[self.site_ids] > 0
+        seg_occ = np.flatnonzero(occupied)
+        rows = np.concatenate([
+            np.arange(self.sections[i], self.sections[i + 1])
+            for i in seg_occ
+        ]) if seg_occ.size else np.empty(0, dtype=int)
+        w_occ = self.W_stack[rows]
+        y_occ = self.y_stack[rows] > 0
+        loc_a = w_occ @ self.alpha
+        omega_a = np.empty(loc_a.shape[0])
+        omega_a[y_occ] = _truncnorm_right(rng, loc_a[y_occ])
+        omega_a[~y_occ] = _truncnorm_left(rng, loc_a[~y_occ])
+        a_mat = w_occ.T @ w_occ + self.a_prec
+        b_vec = self.a_prec_by_mu + w_occ.T @ omega_a
+        self.alpha = _prec_mvnorm_np(rng, b_vec, a_mat)
+
+        # occupancy update at not-observed and unsurveyed sites
+        no_ids = self.site_ids[~self.obs_site]
+        psi_no = ndtr(
+            self.X[no_ids] @ self.beta + self.spatial[no_ids]
+            + self.eps[no_ids]
+        )
+        log_det = log_ndtr(-(self.W_stack @ self.alpha))
+        seg_no = np.flatnonzero(~self.obs_site)
+        prod_miss = np.exp(np.array([
+            log_det[self.sections[i]:self.sections[i + 1]].sum()
+            for i in seg_no
+        ]))
+        num = psi_no * prod_miss
+        p_no = num / (1.0 - psi_no + num)
+        self.z[no_ids] = rng.random(no_ids.size) < p_no
+        if self.not_surveyed.size:
+            ns = self.not_surveyed
+            p_ns = ndtr(
+                self.X[ns] @ self.beta + self.spatial[ns] + self.eps[ns]
+            )
             self.z[ns] = rng.random(ns.size) < p_ns
         self.k = self.z - 0.5

@@ -42,21 +42,37 @@ class OccupancyData:
     site_idx: jax.Array    # (n_surveyed,) int32: compact row -> site
     surveyed: jax.Array    # (n_sites,) bool
     obs: jax.Array         # (n_sites,) bool
+    # flat-visits views (the hot-path layout): every real (site, visit)
+    # cell once, no padding — with min_v=2/max_v=10 the padded grid is
+    # ~40% dead lanes, which the Pólya-Gamma / truncated-normal draws
+    # would otherwise pay for every iteration
+    W_flat: jax.Array      # (total_visits, n_alpha)
+    y_flat: jax.Array      # (total_visits,)
+    visit_site: jax.Array  # (total_visits,) int32: visit row -> site
 
     @property
     def n_sites(self):
+        """Total number of lattice sites."""
         return self.surveyed.shape[0]
 
     @property
+    def total_visits(self):
+        """Total number of real (site, visit) cells."""
+        return self.W_flat.shape[0]
+
+    @property
     def n_surveyed(self):
+        """Number of surveyed sites."""
         return self.W.shape[0]
 
     @property
     def max_visits(self):
+        """Visit-grid padding width (max visits at any site)."""
         return self.W.shape[1]
 
     @property
     def n_alpha(self):
+        """Number of detection covariates."""
         return self.W.shape[2]
 
     def visits(self):
@@ -147,9 +163,18 @@ def pack_detection_data(W, y, n_sites, dtype=np.float32):
 
     obs = np.zeros(n_sites, dtype=bool)
     obs[site_idx] = (y_pad * mask).sum(axis=1) > 0
+
+    # flat-visits views: select real cells row-major (visits are packed
+    # at the front of each padded row, so order is site-major)
+    flat = mask.reshape(-1)
+    n_alpha = w_pad.shape[2]
+    w_flat = w_pad.reshape(-1, n_alpha)[flat]
+    y_flat = y_pad.reshape(-1)[flat]
+    visit_site = np.repeat(site_idx, mask.sum(axis=1)).astype(np.int32)
     return OccupancyData(
         W=w_pad, y=y_pad, visit_mask=mask, site_idx=site_idx,
         surveyed=surveyed, obs=obs,
+        W_flat=w_flat, y_flat=y_flat, visit_site=visit_site,
     )
 
 

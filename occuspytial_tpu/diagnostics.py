@@ -133,6 +133,7 @@ def rhat(x):
 
 
 def mcse_mean(x):
+    """Monte Carlo standard error of the mean (ESS-based)."""
     x = np.atleast_2d(np.asarray(x, dtype=np.float64))
     ess = ess_mean(x)
     if not np.isfinite(ess) or ess <= 0:
@@ -141,6 +142,7 @@ def mcse_mean(x):
 
 
 def mcse_sd(x):
+    """Monte Carlo standard error of the standard deviation."""
     x = np.atleast_2d(np.asarray(x, dtype=np.float64))
     ess = np.nanmin([ess_mean(x), ess_mean(x**2)])
     if not np.isfinite(ess) or ess <= 1:

@@ -97,6 +97,7 @@ class GibbsBase:
         self.data = as_occupancy_data(W, y, self.n, dtype=self.dtype)
         self.n_alpha = self.data.n_alpha
         self.max_visits = self.data.max_visits
+        self.total_visits = self.data.total_visits
         self._seed = 0 if random_state is None else int(random_state)
 
         self.fixed = {}
@@ -146,10 +147,11 @@ class GibbsBase:
         f['X'] = x_np
         if self._needs_dense_q:
             f['Q'] = icar.to_dense(Q)
-        f['W'] = self.data.W
-        f['y'] = self.data.y
-        f['visit_mask'] = np.asarray(self.data.visit_mask, dtype=np.float64)
-        f['site_idx'] = np.asarray(self.data.site_idx)
+        # flat-visits layout: every real (site, visit) cell exactly once
+        # (no padded lanes in the per-iteration PG/truncnorm draws)
+        f['W_flat'] = self.data.W_flat
+        f['y_flat'] = self.data.y_flat
+        f['visit_site'] = np.asarray(self.data.visit_site)
         f['surveyed'] = np.asarray(self.data.surveyed)
         f['obs'] = np.asarray(self.data.obs, dtype=np.float64)
 
@@ -190,6 +192,7 @@ class GibbsBase:
             ('n_alpha', self.n_alpha),
             ('n_beta', self.n_beta),
             ('max_visits', self.max_visits),
+            ('total_visits', self.total_visits),
             ('posterior_names', self.posterior_names),
             ('rng_impl', self.rng_impl),
         )

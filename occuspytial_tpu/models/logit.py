@@ -240,7 +240,10 @@ class LogitICARGibbs(GibbsBase):
                 lambda v: stencil.matvec(self.lattice, fixed['lat_deg'], v)
             )(sol)
         else:
-            qsol = sol @ fixed['Q'].T
+            # full-precision evaluation: the default one-pass-bf16 TPU
+            # matmul cannot measure a small residual through the exact
+            # cancellation in Q (zero row sums)
+            qsol = jnp.matmul(sol, fixed['Q'].T, precision='highest')
         resid = tau * qsol + omega * sol - rhs
         rel = jnp.linalg.norm(resid, axis=1) / jnp.linalg.norm(rhs, axis=1)
         return float(jnp.max(rel))
@@ -284,7 +287,13 @@ class LogitICARGibbs(GibbsBase):
         ca = g - (jnp.sum(g, axis=1, keepdims=True) / hsum) * h[None, :]
         ck = gk - (jnp.sum(gk) / hsum) * h
 
-        s_mat = (x.T * omega_b) @ x + fixed['b_prec'] - a_t @ ca.T
+        # Schur complement: difference of two nearly-equal p x p forms —
+        # compute both at full f32 (default TPU matmul is one-pass bf16)
+        s_mat = (
+            jnp.matmul(x.T * omega_b, x, precision='highest')
+            + fixed['b_prec']
+            - jnp.matmul(a_t, ca.T, precision='highest')
+        )
         s_mat = 0.5 * (s_mat + s_mat.T)
         l_vec = x.T @ k_vec + fixed['b_prec_by_mu'] - a_t @ ck
         beta = precision_mvnorm(k_beta, l_vec, s_mat)
@@ -312,8 +321,11 @@ class LogitICARGibbs(GibbsBase):
             quad = stencil.quad_form(self.lattice, fixed['lat_deg'], eta)
         else:
             quad = eta @ (fixed['Q'] @ eta)
-        rate = 0.5 * quad + fixed['tau_rate']
-        return jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype) / rate
+        # clamp: f32 cancellation can push the PSD quad form slightly
+        # negative for smooth fields, flipping the Gamma rate sign
+        rate = 0.5 * jnp.maximum(quad, 0.0) + fixed['tau_rate']
+        g = jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype)
+        return g / rate
 
     def _update_eta(self, key, state, omega_b, tau, fixed):
         """Constrained ICAR draw (reference gibbs/logit.py:211-217)."""
@@ -348,21 +360,16 @@ class LogitICARGibbs(GibbsBase):
     def _update_alpha(self, key, state, omega_a, fixed):
         """alpha update over currently-occupied surveyed sites.
 
-        Masked-dense version of reference gibbs/logit.py:180-193, 219-224:
-        the dynamic ``exists`` site list becomes the weight
-        ``visit_mask * z[site_idx]`` over the compact (n_surveyed, v_max)
-        visit grid and the stacked-design-matrix products become one
-        (n_surveyed*v_max, n_alpha) matmul on the MXU.
+        Flat-visits version of reference gibbs/logit.py:180-193, 219-224:
+        the dynamic ``exists`` site list becomes the per-visit weight
+        ``z[visit_site]`` over the flat (total_visits,) layout and the
+        stacked-design-matrix products become one (total_visits, n_alpha)
+        matmul on the MXU — no padded lanes.
         """
-        w = fixed['W']  # (ns, v, qa)
-        ns, v, qa = w.shape
-        z_s = state['z'][fixed['site_idx']]
-        wt = fixed['visit_mask'] * z_s[:, None]  # (ns, v)
-        wf = w.reshape(ns * v, qa)
-        cw = (wt * omega_a).reshape(ns * v, 1)
-        a = wf.T @ (cw * wf) + fixed['a_prec']
-        resid = (wt * (fixed['y'] - 0.5)).reshape(ns * v)
-        b = wf.T @ resid + fixed['a_prec_by_mu']
+        w = fixed['W_flat']  # (tv, qa)
+        wt = state['z'][fixed['visit_site']]  # (tv,)
+        a = w.T @ ((wt * omega_a)[:, None] * w) + fixed['a_prec']
+        b = w.T @ (wt * (fixed['y_flat'] - 0.5)) + fixed['a_prec_by_mu']
         return precision_mvnorm(key, b, a)
 
     def _update_z(self, key, state, alpha, beta, spatial, fixed):
@@ -375,17 +382,17 @@ class LogitICARGibbs(GibbsBase):
         so one fused formula covers both site classes.
         """
         logit_psi = fixed['X'] @ beta + spatial
-        num1 = jax.nn.sigmoid(logit_psi)
         # log prod_v sigmoid(-w_v @ alpha) = -sum_v softplus(w_v @ alpha),
-        # computed on the compact visit grid then scattered to full sites
+        # segment-summed from the flat visit rows to full sites
         # (unsurveyed sites get 0 = empty product)
-        lin_a = jnp.einsum('nvq,q->nv', fixed['W'], alpha)
-        log_prod_s = -(fixed['visit_mask'] * jax.nn.softplus(lin_a)).sum(1)
-        log_prod = jnp.zeros(self.n, log_prod_s.dtype).at[
-            fixed['site_idx']
-        ].set(log_prod_s)
-        num = num1 * jnp.exp(log_prod)
-        p = num / ((1.0 - num1) + num)
+        lin_a = fixed['W_flat'] @ alpha
+        log_prod = jnp.zeros(self.n, lin_a.dtype).at[
+            fixed['visit_site']
+        ].add(-jax.nn.softplus(lin_a))
+        # p = psi*prod / (1 - psi + psi*prod) == sigmoid(logit_psi +
+        # log_prod) exactly — the ratio form is 0/0 once psi saturates
+        # to 1.0 in float32 under strong non-detection evidence
+        p = jax.nn.sigmoid(logit_psi + log_prod)
         draw = (
             jax.random.uniform(key, (self.n,), self.dtype) < p
         ).astype(self.dtype)
@@ -423,9 +430,9 @@ class LogitICARGibbs(GibbsBase):
                 keys[3], s, omega_b, spatial, fixed
             )
 
-        # omega_a ~ PG(1, W alpha) over the padded visit grid; masked
-        # weights make the padded draws inert (reference logit.py:180-193)
-        lin_a = jnp.einsum('nvq,q->nv', fixed['W'], s['alpha'])
+        # omega_a ~ PG(1, W alpha) over the flat visit rows — every lane
+        # is a real visit (reference logit.py:180-193)
+        lin_a = fixed['W_flat'] @ s['alpha']
         omega_a = self._pg(keys[4], lin_a)
 
         s['alpha'] = self._update_alpha(keys[5], s, omega_a, fixed)
@@ -488,8 +495,11 @@ class LogitRSRGibbs(LogitICARGibbs):
         return self.fixed['K'] @ eta
 
     def _update_tau(self, key, eta, fixed):
-        rate = 0.5 * eta @ (fixed['Q_rsr'] @ eta) + fixed['tau_rate']
-        return jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype) / rate
+        rate = 0.5 * jnp.maximum(
+            eta @ (fixed['Q_rsr'] @ eta), 0.0
+        ) + fixed['tau_rate']
+        g = jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype)
+        return g / rate
 
     def _update_eta(self, key, state, omega_b, tau, fixed):
         """Reduced-basis eta draw (reference gibbs/logit.py:478-485)."""

@@ -18,13 +18,26 @@ rebuild addition with no reference counterpart: its eta conditional is
 ``N(Lambda^{-1} b, Lambda^{-1})`` with ``Lambda = tau*Q + I`` restricted to
 the sum-to-zero hyperplane, reusing the constrained ICAR draw.
 
-Update order matches reference gibbs/probit.py:262-270:
-omega_b -> tau -> eps -> eta -> beta -> omega_a -> alpha -> z.
+Kernel structure (defaults; see ``_ProbitBase`` for the math):
+
+- ``collapsed=True``: the (beta, eta, eps) block is drawn *jointly* from
+  its exact conditional given the latent utilities — beta with eta and
+  eps integrated out, eta with eps integrated out, then eps — instead of
+  the reference's three single-site conditionals;
+- ``px=True``: a generalized-Gibbs scale move over the multiplicative
+  group orbit g * (u, beta, eta, eps) per iteration, which removes the
+  radial random walk the probit chain suffers under quasi-separation.
+
+``collapsed=False, px=False`` reproduces the reference's update order
+(gibbs/probit.py:262-270): omega_b -> tau -> eps -> eta -> beta ->
+omega_a -> alpha -> z. All variants target the identical posterior
+(enforced by tests/test_parity.py).
 """
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import log_ndtr, ndtr
+import numpy as np
+from jax.scipy.special import log_ndtr
 
 from ..ops import icar
 from ..ops.mvnorm import (
@@ -36,7 +49,113 @@ from .base import GibbsBase
 
 
 class _ProbitBase(GibbsBase):
-    """Shared probit machinery (latent utilities, eps, alpha, beta, z)."""
+    """Shared probit machinery (latent utilities, eps, alpha, beta, z).
+
+    ``collapsed=True`` (default, rebuild addition) replaces the
+    reference's sequential eps -> eta -> beta conditionals with a
+    partially-collapsed ladder: beta is drawn with *both* eps and eta
+    integrated out of the latent-utility likelihood
+    (``u = X beta + spatial + eps + e`` with ``eps, e ~ N(0, 1)``, so
+    marginally ``u ~ N(X beta, 2 I + Cov(spatial))``), then eta given
+    (u, beta) with eps still integrated (observation precision 1/2),
+    then eps from its full conditional. Marginalized variables are
+    redrawn after every update that integrated them out, so the
+    stationary distribution is exactly the reference model's (Van Dyk &
+    Park 2008); what changes is mixing — the intercept/field/eps
+    confounding that dominates worst-parameter ESS is removed from the
+    kernel. ``collapsed=False`` reproduces the reference's update order
+    (gibbs/probit.py:262-270).
+    """
+
+    def __init__(
+        self, Q, W, X, y, hparams=None, random_state=None,
+        dtype=jnp.float32, collapsed=True, px=True, px_sd=0.3,
+    ):
+        self.collapsed = bool(collapsed)
+        self.px = bool(px)
+        self.px_sd = float(px_sd)
+        super().__init__(Q, W, X, y, hparams, random_state, dtype=dtype)
+        # exact orbit draw requires a zero-mean beta prior (else MH)
+        self._px_exact = bool(
+            np.allclose(np.asarray(self.fixed['b_mu']), 0.0)
+        )
+
+    def _static_config(self):
+        return super()._static_config() + (
+            ('collapsed', self.collapsed),
+            ('px', self.px),
+            ('px_sd', self.px_sd),
+            ('_px_exact', self._px_exact),
+        )
+
+    def _eta_quad(self, eta, fixed):
+        raise NotImplementedError
+
+    #: effective dimension of eta under scaling (subspace dim for ICAR)
+    _eta_dim = None
+
+    def _px_scale_move(self, key, s, fixed):
+        """Group scale move ``(u, beta, eta, eps) -> g * (...)`` (MH).
+
+        Parameter-expansion flavored booster (PX-DA direction, Liu & Wu
+        1999): the probit chain's slow manifold under quasi-separation is
+        a ray through the origin in (beta, eta, eps) space, which
+        coordinate-wise Gibbs crosses in tiny steps but a scale move
+        traverses in one. The acceptance ratio is exact — the occupancy
+        indicators constrain u only through its sign, which g > 0
+        preserves — so the move composes with the Gibbs kernel without
+        changing the stationary distribution:
+
+            log a = -(g^2-1)/2 * (||u - m||^2 + ||eps||^2
+                                  + tau eta'Q eta)
+                    - (prior(g beta) - prior(beta)) + d log g
+
+        with ``d = dim(u) + dim(beta) + dim_eff(eta) + dim(eps)`` the
+        Jacobian dimension and ``log g ~ N(0, px_sd^2)`` symmetric.
+
+        With the default zero prior mean for beta the orbit density is
+        ``p(g) dg ∝ g^(d-1) exp(-g^2 S / 2)`` — a chi distribution — so
+        the radial coordinate is drawn *exactly* (``g^2 ~ Gamma(d/2,
+        S/2)``; Liu & Sabatti 2000 generalized Gibbs over the
+        multiplicative group), eliminating radial autocorrelation
+        entirely. The MH form above is kept for nonzero ``b_mu``.
+        """
+        k1, k2 = jax.random.split(key)
+        beta, eta, eps = s['beta'], s['eta'], s['eps']
+        u = s['omega_b']
+        r = u - fixed['X'] @ beta - s['spatial'] - eps
+        rss = r @ r + eps @ eps + s['tau'] * self._eta_quad(eta, fixed)
+        d = 2 * self.n + self.n_beta + self._eta_dim
+        if self._px_exact:
+            # exact chi draw on the orbit (zero-mean beta prior)
+            s_tot = rss + beta @ (fixed['b_prec'] @ beta)
+            g2 = 2.0 * jax.random.gamma(
+                k1, 0.5 * d, dtype=self.dtype
+            ) / s_tot
+            gg = jnp.sqrt(g2)
+        else:
+            g = jnp.exp(
+                self.px_sd * jax.random.normal(k1, (), self.dtype)
+            )
+            bmu = beta - fixed['b_mu']
+            gbmu = g * beta - fixed['b_mu']
+            prior_diff = gbmu @ (fixed['b_prec'] @ gbmu) - bmu @ (
+                fixed['b_prec'] @ bmu
+            )
+            log_a = (
+                -0.5 * (g * g - 1.0) * rss - 0.5 * prior_diff
+                + d * jnp.log(g)
+            )
+            accept = jnp.log(
+                jax.random.uniform(k2, (), self.dtype)
+            ) < log_a
+            gg = jnp.where(accept, g, jnp.ones((), self.dtype))
+        s['omega_b'] = gg * u
+        s['beta'] = gg * beta
+        s['eta'] = gg * eta
+        s['eps'] = gg * eps
+        s['spatial'] = gg * s['spatial']
+        return s
 
     def _init_state(self, key, fixed):
         state = self._init_common(key, fixed)
@@ -77,22 +196,18 @@ class _ProbitBase(GibbsBase):
         return precision_mvnorm(key, b, fixed['XTX_plus_bprec'])
 
     def _update_omega_a(self, key, state, fixed):
-        """Latent detection utilities over the padded visit grid, truncated
+        """Latent detection utilities over the flat visit rows, truncated
         by the observation indicator (reference gibbs/probit.py:173-194)."""
-        loc = jnp.einsum('nvq,q->nv', fixed['W'], state['alpha'])
-        return truncnorm_sign(key, loc, fixed['y'] > 0.5)
+        loc = fixed['W_flat'] @ state['alpha']
+        return truncnorm_sign(key, loc, fixed['y_flat'] > 0.5)
 
     def _update_alpha(self, key, state, omega_a, fixed):
         """alpha ~ MVN with precision W'W + a_prec over occupied sites
-        (reference gibbs/probit.py:231-235), masked-dense."""
-        w = fixed['W']
-        ns, v, qa = w.shape
-        z_s = state['z'][fixed['site_idx']]
-        wt = fixed['visit_mask'] * z_s[:, None]
-        wf = w.reshape(ns * v, qa)
-        cw = wt.reshape(ns * v, 1)
-        a = wf.T @ (cw * wf) + fixed['a_prec']
-        b = fixed['a_prec_by_mu'] + wf.T @ (wt * omega_a).reshape(ns * v)
+        (reference gibbs/probit.py:231-235), flat-visits layout."""
+        w = fixed['W_flat']
+        wt = state['z'][fixed['visit_site']]
+        a = w.T @ (wt[:, None] * w) + fixed['a_prec']
+        b = fixed['a_prec_by_mu'] + w.T @ (wt * omega_a)
         return precision_mvnorm(key, b, a)
 
     def _update_z(self, key, state, fixed):
@@ -102,16 +217,17 @@ class _ProbitBase(GibbsBase):
         expression cover surveyed-unobserved and unsurveyed sites.
         """
         lin = fixed['X'] @ state['beta'] + state['spatial'] + state['eps']
-        num1 = ndtr(lin)
-        lin_a = jnp.einsum('nvq,q->nv', fixed['W'], state['alpha'])
-        # prod_v (1 - Phi(w_v a)) = exp(sum_v log Phi(-w_v a)), masked on
-        # the compact grid then scattered to full sites
-        log_prod_s = (fixed['visit_mask'] * log_ndtr(-lin_a)).sum(1)
-        log_prod = jnp.zeros(self.n, log_prod_s.dtype).at[
-            fixed['site_idx']
-        ].set(log_prod_s)
-        num = num1 * jnp.exp(log_prod)
-        p = num / ((1.0 - num1) + num)
+        lin_a = fixed['W_flat'] @ state['alpha']
+        # prod_v (1 - Phi(w_v a)) = exp(sum_v log Phi(-w_v a)),
+        # segment-summed from the flat visit rows to full sites
+        log_prod = jnp.zeros(self.n, lin_a.dtype).at[
+            fixed['visit_site']
+        ].add(log_ndtr(-lin_a))
+        # p = psi*prod / (1-psi + psi*prod) in stable log-odds form:
+        # sigmoid(log psi + log_prod - log(1-psi)); the ratio form is
+        # 0/0 once ndtr saturates to 1.0 in float32 (the round-1 legacy
+        # NaN at long runs)
+        p = jax.nn.sigmoid(log_ndtr(lin) + log_prod - log_ndtr(-lin))
         draw = (
             jax.random.uniform(key, (self.n,), self.dtype) < p
         ).astype(self.dtype)
@@ -124,19 +240,52 @@ class _ProbitBase(GibbsBase):
     def _update_eta(self, key, state, omega_b, tau, fixed):
         raise NotImplementedError
 
+    def _update_beta_collapsed(self, key, state, omega_b, tau, fixed):
+        raise NotImplementedError
+
+    def _update_eta_collapsed(self, key, state, omega_b, tau, fixed):
+        raise NotImplementedError
+
     def _step(self, key, state, fixed):
-        """One Gibbs iteration (reference gibbs/probit.py:262-270)."""
+        """One Gibbs iteration. ``collapsed=False`` follows reference
+        gibbs/probit.py:262-270 exactly; ``collapsed=True`` replaces the
+        eps/eta/beta conditionals with the collapsed ladder
+        beta (eps, eta out) -> eta (eps out) -> eps (full conditional)."""
         keys = jax.random.split(key, 8)
         s = dict(state)
 
         omega_b = self._update_omega_b(keys[0], s, fixed)
         s['omega_b'] = omega_b
+        if self.px:
+            # orbit move on (u, old theta): re-centers the fresh
+            # utilities' scale before the collapsed block conditions on
+            # them (second move below re-centers the new theta)
+            s = self._px_scale_move(jax.random.fold_in(key, 104729), s,
+                                    fixed)
+            omega_b = s['omega_b']
         s['tau'] = self._update_tau(keys[1], s['eta'], fixed)
-        s['eps'] = self._update_eps(keys[2], s, omega_b, fixed)
-        s['eta'], s['spatial'] = self._update_eta(
-            keys[3], s, omega_b, s['tau'], fixed
-        )
-        s['beta'] = self._update_beta(keys[4], s, omega_b, fixed)
+        if self.collapsed:
+            s['beta'] = self._update_beta_collapsed(
+                keys[2], s, omega_b, s['tau'], fixed
+            )
+            s['eta'], s['spatial'] = self._update_eta_collapsed(
+                keys[3], s, omega_b, s['tau'], fixed
+            )
+            mean = 0.5 * (
+                omega_b - fixed['X'] @ s['beta'] - s['spatial']
+            )
+            s['eps'] = mean + jax.random.normal(
+                keys[4], (self.n,), self.dtype
+            ) / jnp.sqrt(jnp.asarray(2.0, self.dtype))
+        else:
+            s['eps'] = self._update_eps(keys[2], s, omega_b, fixed)
+            s['eta'], s['spatial'] = self._update_eta(
+                keys[3], s, omega_b, s['tau'], fixed
+            )
+            s['beta'] = self._update_beta(keys[4], s, omega_b, fixed)
+        if self.px:
+            s = self._px_scale_move(jax.random.fold_in(key, 7919), s,
+                                    fixed)
         omega_a = self._update_omega_a(keys[5], s, fixed)
         s['alpha'] = self._update_alpha(keys[6], s, omega_a, fixed)
         s['z'] = self._update_z(keys[7], s, fixed)
@@ -154,11 +303,14 @@ class ProbitRSRGibbs(_ProbitBase):
 
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None, r=0.5, q=None,
-        dtype=jnp.float32,
+        dtype=jnp.float32, collapsed=True,
     ):
         self._rsr_r = r
         self._rsr_q = q
-        super().__init__(Q, W, X, y, hparams, random_state, dtype=dtype)
+        super().__init__(
+            Q, W, X, y, hparams, random_state, dtype=dtype,
+            collapsed=collapsed,
+        )
 
     def _static_config(self):
         return super()._static_config() + (('q_dim', self.q_dim),)
@@ -174,6 +326,8 @@ class ProbitRSRGibbs(_ProbitBase):
         f['K'] = k_basis
         f['Q_rsr'] = q_rsr
         f['KTK'] = k_basis.T @ k_basis
+        f['KTX'] = k_basis.T @ x_np
+        f['XTX'] = x_np.T @ x_np
         if not self.hparams_given:
             f['tau_shape'] = 0.5 + 0.5 * self.q_dim
 
@@ -190,8 +344,19 @@ class ProbitRSRGibbs(_ProbitBase):
         return self.fixed['K'] @ eta
 
     def _update_tau(self, key, eta, fixed):
-        rate = 0.5 * eta @ (fixed['Q_rsr'] @ eta) + fixed['tau_rate']
-        return jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype) / rate
+        rate = 0.5 * self._eta_quad(eta, fixed) + fixed['tau_rate']
+        g = jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype)
+        return g / rate
+
+    def _eta_quad(self, eta, fixed):
+        # clamp: the f32 quad form can go slightly negative by
+        # cancellation when the field is smooth (true value ~ 0),
+        # which would flip the Gamma rate / orbit scale negative
+        return jnp.maximum(eta @ (fixed['Q_rsr'] @ eta), 0.0)
+
+    @property
+    def _eta_dim(self):
+        return self.q_dim
 
     def _update_eta(self, key, state, omega_b, tau, fixed):
         """eta ~ MVN with precision K'K + tau*Q_rsr
@@ -201,6 +366,37 @@ class ProbitRSRGibbs(_ProbitBase):
             omega_b - fixed['X'] @ state['beta'] - state['eps']
         )
         eta = precision_mvnorm(key, b, a)
+        return eta, fixed['K'] @ eta
+
+    # --------------- collapsed ladder (rebuild addition) --------------- #
+    # With eps integrated out the utility noise has variance 2, so the
+    # eta-marginal covariance of u is Sigma = 2I + K (tau Q_rsr)^{-1} K'
+    # and by Woodbury Sigma^{-1} = I/2 - (1/4) K A^{-1} K' with
+    # A = tau Q_rsr + K'K/2 — the same q x q matrix that the collapsed
+    # eta conditional uses, so XLA CSEs one Cholesky for both draws.
+
+    def _update_beta_collapsed(self, key, state, omega_b, tau, fixed):
+        a_eta = tau * fixed['Q_rsr'] + 0.5 * fixed['KTK']
+        chol = jnp.linalg.cholesky(a_eta)
+        ktx = fixed['KTX']  # (q, p)
+        ktu = fixed['K'].T @ omega_b
+        sol_x = jax.scipy.linalg.cho_solve((chol, True), ktx)
+        sol_u = jax.scipy.linalg.cho_solve((chol, True), ktu)
+        a_beta = (
+            0.5 * fixed['XTX'] + fixed['b_prec'] - 0.25 * (ktx.T @ sol_x)
+        )
+        b_beta = (
+            0.5 * (fixed['X'].T @ omega_b) - 0.25 * (ktx.T @ sol_u)
+            + fixed['b_prec_by_mu']
+        )
+        return precision_mvnorm(key, b_beta, 0.5 * (a_beta + a_beta.T))
+
+    def _update_eta_collapsed(self, key, state, omega_b, tau, fixed):
+        a_eta = tau * fixed['Q_rsr'] + 0.5 * fixed['KTK']
+        b = 0.5 * (
+            fixed['K'].T @ (omega_b - fixed['X'] @ state['beta'])
+        )
+        eta = precision_mvnorm(key, b, a_eta)
         return eta, fixed['K'] @ eta
 
 
@@ -223,14 +419,56 @@ class ProbitICARGibbs(_ProbitBase):
         s_eig, u_eig, _ = icar.icar_spectral(f['Q'])
         f['q_eigvals'] = s_eig
         f['q_eigvecs'] = u_eig
+        f['UX'] = u_eig.T @ x_np  # X in Q's eigenbasis (collapsed beta)
+        # boolean, not float: excluded from the dtype cast in __init__
+        f['eig_mask'] = s_eig > (1e-8 * float(np.max(s_eig)))
 
     def _update_tau(self, key, eta, fixed):
-        rate = 0.5 * eta @ (fixed['Q'] @ eta) + fixed['tau_rate']
-        return jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype) / rate
+        rate = 0.5 * self._eta_quad(eta, fixed) + fixed['tau_rate']
+        g = jax.random.gamma(key, fixed['tau_shape'], dtype=self.dtype)
+        return g / rate
+
+    def _eta_quad(self, eta, fixed):
+        return jnp.maximum(eta @ (fixed['Q'] @ eta), 0.0)
+
+    @property
+    def _eta_dim(self):
+        return self.n - 1  # eta lives on the sum-to-zero subspace
 
     def _update_eta(self, key, state, omega_b, tau, fixed):
         b = omega_b - fixed['X'] @ state['beta'] - state['eps']
         eta = constrained_icar_mvnorm_unit(
             key, b, tau, fixed['q_eigvecs'], fixed['q_eigvals'],
         )
+        return eta, eta
+
+    # --------------- collapsed ladder (rebuild addition) --------------- #
+    # Everything is diagonal in Q's eigenbasis: with eps and eta out,
+    # Cov(U'u) = diag(2 + 1/(tau s_i)) on the spatial subspace and 2 on
+    # the null direction (the sum-to-zero constraint kills eta there), so
+    # the collapsed beta draw is a p x p problem after one (n, p) rescale.
+
+    def _update_beta_collapsed(self, key, state, omega_b, tau, fixed):
+        s_eig = fixed['q_eigvals']
+        mask = fixed['eig_mask']
+        var_u = jnp.where(
+            mask, 2.0 + 1.0 / (tau * jnp.maximum(s_eig, 1e-30)), 2.0
+        )
+        w = 1.0 / var_u
+        ux = fixed['UX']  # (n, p)
+        uu = omega_b @ fixed['q_eigvecs']  # U'u
+        a = ux.T @ (w[:, None] * ux) + fixed['b_prec']
+        b = ux.T @ (w * uu) + fixed['b_prec_by_mu']
+        return precision_mvnorm(key, b, a)
+
+    def _update_eta_collapsed(self, key, state, omega_b, tau, fixed):
+        # eta | u, beta with eps out: precision tau*Q + I/2 on the
+        # sum-to-zero subspace; exact spectral draw, null coord zeroed
+        b = 0.5 * (omega_b - fixed['X'] @ state['beta'])
+        d = tau * fixed['q_eigvals'] + 0.5
+        b_spec = b @ fixed['q_eigvecs']
+        eps = jax.random.normal(key, b.shape, self.dtype)
+        coef = b_spec / d + eps / jnp.sqrt(d)
+        coef = jnp.where(fixed['eig_mask'], coef, 0.0)
+        eta = coef @ fixed['q_eigvecs'].T
         return eta, eta

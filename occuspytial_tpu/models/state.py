@@ -12,6 +12,8 @@ from types import SimpleNamespace
 
 
 class BaseStorage(SimpleNamespace):
+    """Attribute namespace with dict-style item access."""
+
     def __getitem__(self, key):
         return self.__dict__[key]
 

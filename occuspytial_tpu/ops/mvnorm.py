@@ -29,7 +29,7 @@ def sum_to_zero(x, z):
 
 
 def precision_mvnorm(key, b, prec):
-    """Draw from N(Lambda^{-1} b, Lambda^{-1}) given ``b`` (d,) and ``prec`` (d, d).
+    """Draw from N(Lambda^{-1} b, Lambda^{-1}), ``b`` (d,), ``prec`` (d, d).
 
     Pure (non-clobbering) TPU analog of reference distributions.pyx:42-110.
     Uses mean = cho_solve(L, b) and fluctuation L'^{-T} eps, which has
@@ -44,7 +44,7 @@ def precision_mvnorm(key, b, prec):
 
 
 def constrained_icar_mvnorm(key, b, omega, tau, q_dense, sqrt_factor):
-    """Draw eta (n,) from N(Lambda^{-1} b, Lambda^{-1}) restricted to 1'eta = 0.
+    """Draw eta ~ N(Lambda^{-1} b, Lambda^{-1}) restricted to 1'eta = 0.
 
     ``Lambda = tau * Q + diag(omega)``. This is the eta conditional of the
     logit ICAR sampler (reference gibbs/logit.py:16-99). Method:
@@ -147,6 +147,7 @@ def rsr_mvnorm(key, b, omega, tau, q_rsr, k_basis, sqrt_factor):
     )
     lam = tau * q_rsr + jnp.einsum(
         "np,n,nq->pq", k_basis, omega, k_basis,
+        precision='highest',
     )
     chol = jnp.linalg.cholesky(lam)
     return jax.scipy.linalg.cho_solve((chol, True), y)

@@ -47,6 +47,7 @@ class LatticeSpec:
 
     @property
     def n(self):
+        """Total number of lattice sites."""
         return self.rows * self.cols
 
 

@@ -51,7 +51,7 @@ def truncnorm_negative(key, loc):
 
 
 def truncnorm_sign(key, loc, positive):
-    """Sample N(loc, 1) truncated to (0, inf) where ``positive`` else (-inf, 0).
+    """Sample N(loc, 1) truncated to (0, inf) if ``positive`` else (-inf, 0).
 
     Single fused draw covering the probit samplers' masked two-tail update
     (reference gibbs/probit.py:186-194, 202-209) without boolean gathers.

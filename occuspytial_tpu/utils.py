@@ -15,7 +15,7 @@ from .ops.icar import lattice_precision
 
 
 def get_generator(random_state=None):
-    """numpy Generator over the SFC64 bitgenerator (reference utils.py:7-35)."""
+    """numpy Generator over SFC64 (reference utils.py:7-35)."""
     return np.random.default_rng(np.random.SFC64(random_state))
 
 

@@ -9,15 +9,21 @@ device use. A persistent compilation cache keeps repeat test runs fast.
 
 import os
 
+_TPU_LANE = os.environ.get('OCCU_TPU_TESTS') == '1'
+
 flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
+if not _TPU_LANE and 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+if not _TPU_LANE:
+    # OCCU_TPU_TESTS=1 keeps the real TPU backend: the per-round
+    # hardware lane (scripts/tpu_check.py) runs the Pallas kernel tests
+    # that this CPU-forced default configuration must skip
+    jax.config.update('jax_platforms', 'cpu')
 jax.config.update(
     'jax_compilation_cache_dir',
     os.path.join(os.path.dirname(__file__), '..', '.jax_cache'),

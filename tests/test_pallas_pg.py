@@ -43,3 +43,36 @@ def test_reproducible_and_vmap():
     assert out.shape == (4, 500)
     assert bool(jnp.isfinite(out).all())
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_per_chain_key_contract():
+    """Each vmapped chain's draws are a function of its own key alone
+    (regression: round-1 XOR-mixed all chains' key material)."""
+    from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas
+
+    z = jnp.linspace(-2.0, 2.0, 1000)
+    f = jax.jit(jax.vmap(pg_devroye_pallas, in_axes=(0, None)))
+    keys = jax.random.split(jax.random.key(3), 4)
+    a = np.asarray(f(keys, z))
+    b = np.asarray(f(keys.at[2].set(jax.random.key(77)), z))
+    # only chain 2 changes
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[3], b[3])
+    assert not np.allclose(a[2], b[2])
+
+
+def test_xor_colliding_key_sets_differ():
+    """Two key sets with identical XOR-reduction must not produce
+    identical omega fields (round-1 failure mode)."""
+    from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas
+
+    z = jnp.linspace(-2.0, 2.0, 640)
+    f = jax.jit(jax.vmap(pg_devroye_pallas, in_axes=(0, None)))
+    keys = jax.random.split(jax.random.key(5), 2)
+    kd = jax.random.key_data(keys)
+    delta = jnp.asarray([0xDEADBEEF, 0x12345678], dtype=kd.dtype)
+    keys_xored = jax.random.wrap_key_data(kd ^ delta[None, :])
+    a = np.asarray(f(keys, z))
+    b = np.asarray(f(keys_xored, z))
+    assert not np.allclose(a, b)

@@ -15,8 +15,16 @@ samplers use unrelated RNG streams).
 import numpy as np
 import pytest
 
-from benchmarks.reference_floor import NumpyLogitICAR
-from occuspytial_tpu import LogitICARGibbs
+from benchmarks.reference_floor import (
+    NumpyLogitICAR,
+    NumpyLogitRSR,
+    NumpyProbitRSR,
+)
+from occuspytial_tpu import (
+    LogitICARGibbs,
+    LogitRSRGibbs,
+    ProbitRSRGibbs,
+)
 from occuspytial_tpu import diagnostics as dg
 from occuspytial_tpu.utils import make_data
 
@@ -49,6 +57,10 @@ def test_logit_icar_posterior_means_match_floor(dataset):
     s = LogitICARGibbs(Q, W, X, y, random_state=4)
     post = s.sample(SIZE, burnin=BURNIN, chains=CHAINS, progressbar=False)
 
+    _assert_mean_parity(post, out_floor)
+
+
+def _assert_mean_parity(post, out_floor, floor_tol=0.05):
     for name, dim in (('alpha', 2), ('beta', 3)):
         for j in range(dim):
             ours = post[name][:, :, j]
@@ -56,7 +68,43 @@ def test_logit_icar_posterior_means_match_floor(dataset):
             m1, se1 = _mean_and_mcse(ours)
             m2, se2 = _mean_and_mcse(theirs)
             tol = Z_TOL * np.sqrt(se1**2 + se2**2)
-            assert abs(m1 - m2) < max(tol, 0.05), (
+            assert abs(m1 - m2) < max(tol, floor_tol), (
                 f'{name}[{j}]: tpu {m1:.4f} vs floor {m2:.4f} '
                 f'(tol {tol:.4f})'
             )
+
+
+@pytest.mark.slow
+def test_logit_rsr_posterior_means_match_floor(dataset):
+    Q, W, X, y, *_ = dataset
+
+    floor = NumpyLogitRSR(Q, W, X, y, random_state=3, q=15)
+    out_floor = floor.run(SIZE, burnin=BURNIN)
+
+    s = LogitRSRGibbs(Q, W, X, y, random_state=4, q=15)
+    post = s.sample(SIZE, burnin=BURNIN, chains=CHAINS, progressbar=False)
+    _assert_mean_parity(post, out_floor)
+
+
+@pytest.mark.slow
+def test_probit_rsr_posterior_means_match_floor(dataset):
+    """Probit parity vs the reference algorithm's floor.
+
+    The reference marks its probit sampler xfail, so this asserts against
+    the model math (the floor implements the reference's conditionals
+    independently in numpy) — both the collapsed ladder and the
+    reference-ordered kernel must land on the same posterior.
+    """
+    Q, W, X, y, *_ = dataset
+
+    floor = NumpyProbitRSR(Q, W, X, y, random_state=3, q=15)
+    out_floor = floor.run(SIZE, burnin=BURNIN)
+
+    for collapsed in (True, False):
+        s = ProbitRSRGibbs(
+            Q, W, X, y, random_state=4, q=15, collapsed=collapsed,
+        )
+        post = s.sample(
+            SIZE, burnin=BURNIN, chains=CHAINS, progressbar=False
+        )
+        _assert_mean_parity(post, out_floor, floor_tol=0.08)
