@@ -225,6 +225,7 @@ def run_one(which):
         LogitICARGibbs,
         LogitRSRGibbs,
         ProbitICARGibbs,
+        ProbitRSRGibbs,
     )
     from occuspytial_tpu.utils import make_data
 
@@ -240,7 +241,7 @@ def run_one(which):
             'config4 logitICAR n=1000 64 chains (headline)', s,
             HEAD['size'], HEAD['burnin'], HEAD['chains'], retries=0,
         )
-    elif which in ('1', '2'):
+    elif which in ('1', '2', '2b'):
         Q1, W1, X1, y1, *_ = make_lattice_dataset(10, 10, ns=50, seed=3)
         if which == '1':
             from benchmarks.reference_floor import NumpyLogitICAR
@@ -269,10 +270,18 @@ def run_one(which):
                 lambda: NumpyProbitRSR(Q1, W1, X1, y1, random_state=3),
                 chains=4, size=2048, burnin=512,
             )
-            s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
-            res = bench_config(
-                'config2 probitICAR n=100 16 chains', s, 2048, 512, 16,
-            )
+            if which == '2':
+                s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
+                res = bench_config(
+                    'config2 probitICAR n=100 64 chains', s,
+                    2048, 512, 64,
+                )
+            else:  # '2b': like-for-like vs the reference's RSR probit
+                s = ProbitRSRGibbs(Q1, W1, X1, y1, random_state=3)
+                res = bench_config(
+                    'config2b probitRSR n=100 64 chains', s,
+                    2048, 512, 64,
+                )
             if 'ess_per_sec' in res:
                 res['floor_ess_per_sec'] = floor['ess_per_sec']
                 res['vs_floor'] = round(
@@ -427,6 +436,7 @@ def main():
 
     detail['1_logit_icar_100site_1chain'] = run_subprocess_config('1')
     detail['2_probit_icar_100site'] = run_subprocess_config('2')
+    detail['2b_probit_rsr_100site'] = run_subprocess_config('2b')
     detail['3_logit_rsr_1000site'] = run_subprocess_config('3')
     detail['5_logit_icar_10000site_stencil'] = run_subprocess_config('5')
 

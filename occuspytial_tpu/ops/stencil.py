@@ -70,7 +70,12 @@ def degree_grid(spec):
 
 
 def matvec(spec, deg, v):
-    """Q v on flattened site vectors v (..., n); deg is (rows, cols)."""
+    """Q v on flattened site vectors v (..., n); deg is (rows, cols).
+
+    Shift-add form (VPU slice updates): exact, layout-free; used for
+    setup-time validation and the halo-exchange sharded variant. The hot
+    loop uses :func:`matvec_mxu` instead — same operator as matmuls.
+    """
     r, c = spec.rows, spec.cols
     g = v.reshape(v.shape[:-1] + (r, c))
     acc = jnp.zeros_like(g)
@@ -85,6 +90,43 @@ def matvec(spec, deg, v):
         acc = acc.at[..., 1:, :-1].add(g[..., :-1, 1:])
         acc = acc.at[..., :-1, 1:].add(g[..., 1:, :-1])
     out = deg * g - spec.rho * acc
+    return out.reshape(v.shape)
+
+
+def shift_matrix(m, dtype=np.float32):
+    """(m, m) tridiagonal 0/1 matrix: (S v)_i = v_{i-1} + v_{i+1}."""
+    s = np.zeros((m, m), dtype)
+    idx = np.arange(m - 1)
+    s[idx, idx + 1] = 1.0
+    s[idx + 1, idx] = 1.0
+    return s
+
+
+def matvec_mxu(spec, fixed, v):
+    """Q v as batched small matmuls (the hot-loop form).
+
+    The neighbor sum of a rectangular stencil factors through the 1-D
+    shift matrices ``S_r`` (rows) and ``S_c`` (cols):
+
+        rook neighbors  = S_r g + g S_c
+        queen diagonals = S_r g S_c      (exactly the 4 diagonal cells)
+
+    so the whole matvec is 2-3 (rows x rows)/(cols x cols) matmuls per
+    grid — MXU work with one read and one write of ``g``, instead of 8
+    padded slice-adds through HBM. ``precision='highest'`` keeps it
+    exact f32 (the MXU's default one-pass bf16 would reintroduce
+    cancellation noise); the FLOPs are negligible either way.
+    """
+    r, c = spec.rows, spec.cols
+    g = v.reshape(v.shape[:-1] + (r, c))
+    s_r, s_c = fixed['lat_shift_r'], fixed['lat_shift_c']
+    gr = jnp.einsum('ab,...bc->...ac', s_r, g, precision='highest')
+    acc = gr + jnp.einsum('...ab,bc->...ac', g, s_c, precision='highest')
+    if spec.max_neighbors == 8:
+        acc = acc + jnp.einsum(
+            '...ab,bc->...ac', gr, s_c, precision='highest'
+        )
+    out = fixed['lat_deg'] * g - spec.rho * acc
     return out.reshape(v.shape)
 
 
@@ -160,6 +202,8 @@ def setup(spec, dtype=np.float32):
         'lat_dct_r': cr.astype(dtype),
         'lat_dct_c': cc.astype(dtype),
         'lat_sym': symbol_grid(spec).astype(dtype),
+        'lat_shift_r': shift_matrix(spec.rows, dtype),
+        'lat_shift_c': shift_matrix(spec.cols, dtype),
     }
 
 
@@ -179,11 +223,10 @@ def cg_solve(spec, fixed, rhs, x0, omega, tau, iters):
     preconditioned CG; rhs/x0 are (rhs_count, n)."""
     from .cg import pcg
 
-    deg = fixed['lat_deg']
     cbar = jnp.mean(omega)
 
     def mv(v):
-        return tau * matvec(spec, deg, v) + omega * v
+        return tau * matvec_mxu(spec, fixed, v) + omega * v
 
     def pc(v):
         return precond_apply(spec, fixed, tau, cbar, v)
