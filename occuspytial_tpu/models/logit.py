@@ -65,9 +65,18 @@ class LogitICARGibbs(GibbsBase):
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
-        lattice=None, blocked=True,
+        lattice=None, blocked=True, cg_impl=None,
     ):
         self.blocked = bool(blocked)
+        if cg_impl is None:
+            # measured on the headline config: the XLA loop pipelines
+            # better than the fused Pallas kernel (844 vs 774 it/s),
+            # so 'xla' is the default on every backend; 'pallas'
+            # (ops/pallas_cg.py) is kept as a validated alternative
+            cg_impl = 'xla'
+        if cg_impl not in ('xla', 'pallas'):
+            raise ValueError(f'unknown cg_impl: {cg_impl!r}')
+        self.cg_impl = cg_impl
         if pg_method is None:
             # fused on-core kernel on TPU; portable sampler elsewhere
             pg_method = (
@@ -110,6 +119,7 @@ class LogitICARGibbs(GibbsBase):
             ('pg_method', self.pg_method),
             ('solver', self.solver),
             ('cg_iters', self.cg_iters),
+            ('cg_impl', self.cg_impl),
             ('lattice', self.lattice),
             ('_needs_dense_q', self._needs_dense_q),
             ('blocked', self.blocked),
@@ -186,6 +196,13 @@ class LogitICARGibbs(GibbsBase):
                 self.lattice, fixed, rhs, warm, omega, tau, self.cg_iters
             )
         if self.solver == 'cg':
+            if self.cg_impl == 'pallas':
+                from ..ops.pallas_cg import icar_cg_solve_fused
+
+                return icar_cg_solve_fused(
+                    rhs, warm, omega, tau,
+                    fixed['q_eigvecs'], fixed['q_eigvals'], self.cg_iters,
+                )
             from ..ops.cg import icar_cg_solve
 
             return icar_cg_solve(
@@ -420,9 +437,16 @@ class LogitICARGibbs(GibbsBase):
         keys = jax.random.split(key, 7)
         s = dict(state)
 
-        # omega_b ~ PG(1, X beta + spatial)  (reference logit.py:195-204)
+        # both Pólya-Gamma fields in ONE kernel call: omega_b conditions
+        # on the previous (beta, spatial) and omega_a on the previous
+        # alpha (it is drawn before alpha updates, reference
+        # logit.py:180-193), so both linear predictors are known at step
+        # start — fusing them halves the per-step PG launch cost, which
+        # dominates the headline config's step time
         lin_b = fixed['X'] @ s['beta'] + s['spatial']
-        omega_b = self._pg(keys[0], lin_b)
+        lin_a = fixed['W_flat'] @ s['alpha']
+        omega = self._pg(keys[0], jnp.concatenate([lin_b, lin_a]))
+        omega_b, omega_a = omega[: self.n], omega[self.n:]
 
         tau = self._update_tau(keys[1], s['eta'], fixed)
         if self.blocked and type(self)._update_eta is \
@@ -441,11 +465,6 @@ class LogitICARGibbs(GibbsBase):
             s['beta'] = self._update_beta(
                 keys[3], s, omega_b, spatial, fixed
             )
-
-        # omega_a ~ PG(1, W alpha) over the flat visit rows — every lane
-        # is a real visit (reference logit.py:180-193)
-        lin_a = fixed['W_flat'] @ s['alpha']
-        omega_a = self._pg(keys[4], lin_a)
 
         s['alpha'] = self._update_alpha(keys[5], s, omega_a, fixed)
         s['z'], s['k'] = self._update_z(

@@ -76,11 +76,12 @@ def main():
     env = dict(os.environ, OCCU_TPU_TESTS='1')
     proc, dt = run(
         [sys.executable, '-m', 'pytest', 'tests/test_pallas_pg.py',
+         'tests/test_pallas_cg.py',
          '-v', '--no-header', '-p', 'no:cacheprovider'],
         env=env,
     )
     tail = '\n'.join(proc.stdout.strip().splitlines()[-12:])
-    lines += ['', f'## pytest tests/test_pallas_pg.py (TPU backend, '
+    lines += ['', f'## pytest pallas kernel tests (TPU backend, '
               f'{dt:.0f}s, rc={proc.returncode})', tail]
     ok &= proc.returncode == 0
 
