@@ -97,3 +97,21 @@ def test_sampler_with_stencil_solver():
             Q, W, X, y, random_state=1, lattice=(10, 15, 4),
             pg_method='devroye',
         )
+
+
+def test_matvec_mxu_matches_shift_form():
+    # the hot-loop matmul form must equal the exact shift-add operator
+    from occuspytial_tpu.ops import stencil
+
+    for neighbors in (4, 8):
+        spec = stencil.LatticeSpec(6, 9, neighbors)
+        fixed = {
+            k: jnp.asarray(v) for k, v in stencil.setup(spec).items()
+        }
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.standard_normal((3, spec.n)), jnp.float32)
+        a = stencil.matvec(spec, fixed['lat_deg'], v)
+        b = stencil.matvec_mxu(spec, fixed, v)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
