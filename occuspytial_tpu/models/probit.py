@@ -94,7 +94,7 @@ class _ProbitBase(GibbsBase):
     #: effective dimension of eta under scaling (subspace dim for ICAR)
     _eta_dim = None
 
-    def _px_scale_move(self, key, s, fixed):
+    def _px_scale_move(self, key, s, fixed, marginal=False):
         """Group scale move ``(u, beta, eta, eps) -> g * (...)`` (MH).
 
         Parameter-expansion flavored booster (PX-DA direction, Liu & Wu
@@ -123,9 +123,19 @@ class _ProbitBase(GibbsBase):
         k1, k2 = jax.random.split(key)
         beta, eta, eps = s['beta'], s['eta'], s['eps']
         u = s['omega_b']
-        r = u - fixed['X'] @ beta - s['spatial'] - eps
-        rss = r @ r + eps @ eps + s['tau'] * self._eta_quad(eta, fixed)
-        d = 2 * self.n + self.n_beta + self._eta_dim
+        if marginal:
+            # eps-marginal orbit: u ~ N(X beta + spatial, 2I); used in
+            # the PCG window where eps is integrated out (stale), so
+            # the move must not condition on it
+            r = u - fixed['X'] @ beta - s['spatial']
+            rss = 0.5 * (r @ r) + s['tau'] * self._eta_quad(eta, fixed)
+            d = self.n + self.n_beta + self._eta_dim
+        else:
+            r = u - fixed['X'] @ beta - s['spatial'] - eps
+            rss = r @ r + eps @ eps + s['tau'] * self._eta_quad(
+                eta, fixed
+            )
+            d = 2 * self.n + self.n_beta + self._eta_dim
         if self._px_exact:
             # exact chi draw on the orbit (zero-mean beta prior)
             s_tot = rss + beta @ (fixed['b_prec'] @ beta)
@@ -153,7 +163,8 @@ class _ProbitBase(GibbsBase):
         s['omega_b'] = gg * u
         s['beta'] = gg * beta
         s['eta'] = gg * eta
-        s['eps'] = gg * eps
+        if not marginal:  # eps is not part of the marginal orbit
+            s['eps'] = gg * eps
         s['spatial'] = gg * s['spatial']
         return s
 
@@ -172,7 +183,16 @@ class _ProbitBase(GibbsBase):
 
     def _update_omega_b(self, key, state, fixed):
         """Latent occupancy utilities, truncated by the current z
-        (reference gibbs/probit.py:196-209)."""
+        (reference gibbs/probit.py:196-209). Under the collapsed kernel
+        eps is integrated out here too — u ~ N(X beta + spatial, 2)
+        truncated — so the whole block operates in the eps-marginal
+        model and eps is imputed once at the end of the ladder."""
+        if self.collapsed:
+            root2 = jnp.sqrt(jnp.asarray(2.0, self.dtype))
+            loc = fixed['X'] @ state['beta'] + state['spatial']
+            return root2 * truncnorm_sign(
+                key, loc / root2, state['z'] > 0.5
+            )
         loc = (
             fixed['X'] @ state['beta'] + state['spatial'] + state['eps']
         )
@@ -259,9 +279,11 @@ class _ProbitBase(GibbsBase):
         if self.px:
             # orbit move on (u, old theta): re-centers the fresh
             # utilities' scale before the collapsed block conditions on
-            # them (second move below re-centers the new theta)
+            # them (second move below re-centers the new theta). In the
+            # collapsed kernel eps is integrated out of this window, so
+            # the move runs on the eps-marginal density
             s = self._px_scale_move(jax.random.fold_in(key, 104729), s,
-                                    fixed)
+                                    fixed, marginal=self.collapsed)
             omega_b = s['omega_b']
         s['tau'] = self._update_tau(keys[1], s['eta'], fixed)
         if self.collapsed:
