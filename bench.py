@@ -142,12 +142,15 @@ def bench_config(name, sampler, size, burnin, chains, retries=2):
     # tunnel (sustained dispatch + Pallas custom calls). Load-robustness
     # comes from best-of-N at the *subprocess* level instead
     # (run_subprocess_config best_of=...); the draws are identical per run.
+    # single-dispatch timed run: each dispatch through the axon tunnel
+    # costs ~100 ms of dead time (measured: chunk 128 -> 557 it/s,
+    # chunk 3008 -> 1217 it/s on the headline config), so the whole
+    # timed run is one compiled scan; the warmup run compiles it
+    sampler.scan_chunk = size
     last = None
     for attempt in range(retries + 1):
         try:
-            sampler.sample(
-                sampler.scan_chunk, chains=chains, progressbar=False
-            )
+            sampler.sample(size, chains=chains, progressbar=False)
             t0 = time.time()
             post = sampler.sample(size, burnin=burnin, chains=chains,
                                   progressbar=False)
@@ -236,7 +239,6 @@ def run_one(which):
             random_state=HEAD['seed'],
         )
         s = LogitICARGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'])
-        s.scan_chunk = 128  # fewer dispatches through the device tunnel
         res = bench_config(
             'config4 logitICAR n=1000 64 chains (headline)', s,
             HEAD['size'], HEAD['burnin'], HEAD['chains'], retries=0,

@@ -29,7 +29,6 @@ import numpy as np
 from ..ops import icar
 from ..ops.mvnorm import (
     constrained_icar_mvnorm,
-    constrained_icar_mvnorm_cg,
     precision_mvnorm,
     rsr_mvnorm,
     sum_to_zero,
@@ -187,31 +186,38 @@ class LogitICARGibbs(GibbsBase):
     # ----------------- shared Lambda = tau*Q + diag(omega) ------------- #
 
     def _lambda_solve(self, rhs, warm, omega, tau, fixed):
-        """Solve Lambda X = rhs for stacked rows; returns solutions.
+        """Solve Lambda X = rhs for stacked rows.
 
-        Dispatches on the configured solver; iterative paths warm-start
-        from ``warm`` (same shape as rhs)."""
+        Returns ``(sol, warm_next)``: the site-basis solutions plus the
+        carry to seed the next iteration's solve. Iterative paths
+        warm-start from ``warm``; for the default XLA CG the carry lives
+        in Q's eigenbasis (see ops/cg.py:icar_cg_solve_spectral — same
+        shape, two matmuls per iteration instead of three), for every
+        other path it is the site-basis solution itself."""
         if self.solver == 'stencil':
-            return stencil.cg_solve(
+            sol = stencil.cg_solve(
                 self.lattice, fixed, rhs, warm, omega, tau, self.cg_iters
             )
+            return sol, sol
         if self.solver == 'cg':
             if self.cg_impl == 'pallas':
                 from ..ops.pallas_cg import icar_cg_solve_fused
 
-                return icar_cg_solve_fused(
+                sol = icar_cg_solve_fused(
                     rhs, warm, omega, tau,
                     fixed['q_eigvecs'], fixed['q_eigvals'], self.cg_iters,
                 )
-            from ..ops.cg import icar_cg_solve
+                return sol, sol
+            from ..ops.cg import icar_cg_solve_spectral
 
-            return icar_cg_solve(
-                rhs, warm, omega, tau, fixed['Q'],
+            return icar_cg_solve_spectral(
+                rhs, warm, omega, tau,
                 fixed['q_eigvecs'], fixed['q_eigvals'], self.cg_iters,
             )
         lam = tau * fixed['Q'] + jnp.diag(omega)
         chol = jnp.linalg.cholesky(lam)
-        return jax.scipy.linalg.cho_solve((chol, True), rhs.T).T
+        sol = jax.scipy.linalg.cho_solve((chol, True), rhs.T).T
+        return sol, sol
 
     def _lambda_noise(self, key, tau, fixed):
         """sqrt(tau) * B eps with B B' = Q, per the configured solver."""
@@ -254,7 +260,9 @@ class LogitICARGibbs(GibbsBase):
             ],
             0,
         )
-        sol = self._lambda_solve(rhs, jnp.zeros_like(rhs), omega, tau, fixed)
+        sol, _ = self._lambda_solve(
+            rhs, jnp.zeros_like(rhs), omega, tau, fixed
+        )
         if self.solver == 'stencil':
             qsol = jax.vmap(
                 lambda v: stencil.matvec(self.lattice, fixed['lat_deg'], v)
@@ -316,7 +324,9 @@ class LogitICARGibbs(GibbsBase):
             0,
         )
         warm = state.get('eta_warm')
-        sol = self._lambda_solve(rhs, warm, omega_b, tau, fixed)
+        if warm is None:
+            warm = jnp.zeros_like(rhs)
+        sol, warm_next = self._lambda_solve(rhs, warm, omega_b, tau, fixed)
         g, gk, h, gp = sol[:p], sol[p], sol[p + 1], sol[p + 2]
         hsum = jnp.sum(h)
 
@@ -337,8 +347,8 @@ class LogitICARGibbs(GibbsBase):
         # eta | beta by linearity of the solves, with the kriging
         # projection through h = Lambda^{-1} 1
         eta = sum_to_zero(gk - beta @ g + gp, h)
-        if warm is not None:
-            state['eta_warm'] = sol
+        if 'eta_warm' in state:
+            state['eta_warm'] = warm_next
         return beta, eta
 
     # -------------------------- update segments ----------------------- #
@@ -367,11 +377,21 @@ class LogitICARGibbs(GibbsBase):
             )
             state['eta_warm'] = warm
         elif self.solver == 'cg':
-            eta, warm = constrained_icar_mvnorm_cg(
-                key, b, omega_b, tau, fixed['Q'], fixed['sqrt_factor'],
-                fixed['q_eigvecs'], fixed['q_eigvals'],
-                state['eta_warm'], self.cg_iters,
+            # perturbed RHS y ~ N(b, Lambda) plus the constraint column,
+            # solved through the shared dispatch (same math as
+            # ops/mvnorm.py:constrained_icar_mvnorm_cg, but routed via
+            # _lambda_solve so the default impl runs the 2-matmul
+            # eigenbasis CG with its spectral warm carry)
+            k1, k2 = jax.random.split(key)
+            eps1 = jax.random.normal(k1, (self.n,), self.dtype)
+            y = b + jnp.sqrt(omega_b) * eps1 + self._lambda_noise(
+                k2, tau, fixed
             )
+            rhs = jnp.stack([y, jnp.ones_like(y)])
+            sol, warm = self._lambda_solve(
+                rhs, state['eta_warm'], omega_b, tau, fixed
+            )
+            eta = sum_to_zero(sol[0], sol[1])
             state['eta_warm'] = warm
         else:
             eta = constrained_icar_mvnorm(

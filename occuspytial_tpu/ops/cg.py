@@ -91,3 +91,38 @@ def icar_cg_solve(rhs, x0, omega, tau, q_dense, eigvecs, eigvals, iters):
         return ((r @ eigvecs) * pinv) @ eigvecs.T
 
     return pcg(matvec, precond, rhs, x0, iters)
+
+
+def icar_cg_solve_spectral(
+    rhs, warm_spec, omega, tau, eigvecs, eigvals, iters
+):
+    """Eigenbasis variant of :func:`icar_cg_solve`: 2 matmuls/iteration.
+
+    The same preconditioned Krylov iteration conjugated by the orthogonal
+    eigenbasis ``Q = U S U'``: the operator becomes ``tau*S + U'DU``
+    (one round trip to site basis and back per application) and the
+    spectral preconditioner ``tau*Q + mean(omega)*I`` becomes an exactly
+    diagonal — free — rescale. That drops the per-iteration matmul count
+    from 3 to 2 at identical iterates (in exact arithmetic the two
+    solvers generate the same Krylov sequence), which is a ~30% cut of
+    the solver cost that dominates the large-n Gibbs step.
+
+    ``warm_spec`` is the previous call's solution *in the eigenbasis*
+    (second element of the return), so warm starts add no transforms:
+    per solve the only extras are one in-transform of ``rhs`` and one
+    out-transform of the solution.
+
+    Returns ``(x_site, x_spec)``.
+    """
+    cbar = jnp.mean(omega)
+    dinv = 1.0 / (tau * eigvals + cbar)
+    b_spec = rhs @ eigvecs
+
+    def matvec(v):
+        return tau * eigvals * v + (omega * (v @ eigvecs.T)) @ eigvecs
+
+    def precond(r):
+        return dinv * r
+
+    x_spec = pcg(matvec, precond, b_spec, warm_spec, iters)
+    return x_spec @ eigvecs.T, x_spec

@@ -205,3 +205,46 @@ def test_rsr_mvnorm_moments():
     np.testing.assert_allclose(
         np.cov(draws.T), cov, atol=0.08 * np.abs(cov).max() + 0.01
     )
+
+
+def test_spectral_cg_matches_site_basis_cg():
+    """The eigenbasis CG (2 matmuls/iter) and the site-basis CG generate
+    the same Krylov iterates up to float32 rounding: solutions from
+    identical inputs must agree to well below the solver tolerance the
+    sampler relies on, and the returned spectral carry must transform
+    back to the site solution."""
+    from occuspytial_tpu.ops.cg import icar_cg_solve, icar_cg_solve_spectral
+
+    rng = np.random.default_rng(11)
+    q = np.asarray(
+        lattice_precision(9, 9, 8).todense(), dtype=np.float64
+    )
+    n = q.shape[0]
+    s_eig, u_eig, _ = icar_spectral(q)
+    u32 = jnp.asarray(u_eig, jnp.float32)
+    s32 = jnp.asarray(s_eig, jnp.float32)
+    omega = jnp.asarray(rng.uniform(0.02, 0.25, n), jnp.float32)
+    tau = jnp.asarray(3.7, jnp.float32)
+    rhs = jnp.asarray(rng.normal(size=(4, n)), jnp.float32)
+
+    site = icar_cg_solve(
+        rhs, jnp.zeros_like(rhs), omega, tau,
+        jnp.asarray(q, jnp.float32), u32, s32, 15,
+    )
+    spec_site, spec_carry = icar_cg_solve_spectral(
+        rhs, jnp.zeros_like(rhs), omega, tau, u32, s32, 15,
+    )
+    scale = float(jnp.abs(site).max())
+    np.testing.assert_allclose(
+        np.asarray(spec_site), np.asarray(site), atol=5e-3 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(spec_carry @ u32.T), np.asarray(spec_site),
+        atol=1e-4 * scale,
+    )
+    # solution quality vs the exact dense solve
+    lam = tau * np.asarray(q) + np.diag(np.asarray(omega, np.float64))
+    exact = np.linalg.solve(lam, np.asarray(rhs, np.float64).T).T
+    np.testing.assert_allclose(
+        np.asarray(spec_site), exact, atol=2e-2 * np.abs(exact).max()
+    )
