@@ -273,16 +273,22 @@ def run_one(which):
                 chains=4, size=2048, burnin=512,
             )
             if which == '2':
+                # per-chain size/burnin match the floor protocol above
+                # (2048/512), so the short-chain bias of the pooled ESS
+                # estimator cancels in the vs_floor ratio
                 s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
                 res = bench_config(
                     'config2 probitICAR n=100 64 chains', s,
                     2048, 512, 64,
                 )
             else:  # '2b': like-for-like vs the reference's RSR probit
+                # 512 chains: measured sweep (scripts/chain_scaling.py)
+                # — pooled ESS/sec keeps rising past 256 chains on this
+                # tiny model (531 it/s x 512 chains beats 2225 x 64)
                 s = ProbitRSRGibbs(Q1, W1, X1, y1, random_state=3)
                 res = bench_config(
-                    'config2b probitRSR n=100 64 chains', s,
-                    2048, 512, 64,
+                    'config2b probitRSR n=100 512 chains', s,
+                    2048, 512, 512,
                 )
             if 'ess_per_sec' in res:
                 res['floor_ess_per_sec'] = floor['ess_per_sec']

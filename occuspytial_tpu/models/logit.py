@@ -53,7 +53,10 @@ class LogitICARGibbs(GibbsBase):
     TPU extras: ``pg_method`` selects the Pólya-Gamma sampler
     ('devroye' = exact rejection, 'gamma' = truncated-series with exact
     tail-mean correction, 'pallas' = exact rejection as a fused on-core
-    TPU kernel — fastest on TPU; see ops/polyagamma.py, ops/pallas_pg.py);
+    TPU kernel with per-chain streams, 'pallas_packed' = the same kernel
+    packed across the vmapped chain batch — fastest on TPU, draws are a
+    function of the whole key batch; see ops/polyagamma.py,
+    ops/pallas_pg.py);
     ``solver`` selects the eta linear solver ('chol' = exact dense
     Cholesky, 'cg' = warm-started spectrally-preconditioned CG — the TPU
     analog of the reference's warm-started MINRES, gibbs/logit.py:80-92,
@@ -77,11 +80,17 @@ class LogitICARGibbs(GibbsBase):
             raise ValueError(f'unknown cg_impl: {cg_impl!r}')
         self.cg_impl = cg_impl
         if pg_method is None:
-            # fused on-core kernel on TPU; portable sampler elsewhere
+            # fused on-core kernel on TPU (packed across the vmapped
+            # chain batch — see ops/pallas_pg.py:_pg_core_packed_vmap
+            # for the key-contract trade-off); portable sampler
+            # elsewhere
             pg_method = (
-                'pallas' if jax.default_backend() == 'tpu' else 'devroye'
+                'pallas_packed' if jax.default_backend() == 'tpu'
+                else 'devroye'
             )
-        if pg_method not in ('devroye', 'gamma', 'pallas'):
+        if pg_method not in (
+            'devroye', 'gamma', 'pallas', 'pallas_packed'
+        ):
             raise ValueError(f'unknown PG sampling method: {pg_method!r}')
         if solver not in (None, 'chol', 'cg', 'stencil'):
             raise ValueError(f'unknown eta solver: {solver!r}')
@@ -171,6 +180,10 @@ class LogitICARGibbs(GibbsBase):
             from ..ops.pallas_pg import pg_devroye_pallas
 
             return pg_devroye_pallas(key, z)
+        if self.pg_method == 'pallas_packed':
+            from ..ops.pallas_pg import pg_devroye_pallas_packed
+
+            return pg_devroye_pallas_packed(key, z)
         return pg_devroye(key, z)
 
     def _init_state(self, key, fixed):

@@ -35,11 +35,11 @@ def build(cfg):
     from occuspytial_tpu.utils import make_data
 
     if cfg.startswith('probit'):
-        Q, W, X, y, *_ = make_data(
-            n=100, ns=50, p=3, q=3, min_v=2, max_v=10, random_state=7
-        )
+        from bench import make_lattice_dataset
+
+        Q, W, X, y, *_ = make_lattice_dataset(10, 10, ns=50, seed=3)
         cls = ProbitICARGibbs if cfg == 'probit_icar' else ProbitRSRGibbs
-        return cls(Q, W, X, y, random_state=1)
+        return cls(Q, W, X, y, random_state=3)
     Q, W, X, y, *_ = make_data(
         n=1000, ns=500, p=3, q=3, min_v=2, max_v=10, random_state=7
     )
@@ -57,21 +57,19 @@ def worker(cfg, chains):
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-    from occuspytial_tpu.diagnostics import ess_bulk
+    from bench import min_ess_per_param
 
     sampler = build(cfg)
-    sampler.scan_chunk = 128
     size, burn = SIZE[cfg], BURN[cfg]
-    sampler.sample(128, burnin=0, chains=chains, progressbar=False)
+    sampler.scan_chunk = size  # single dispatch through the tunnel
+    sampler.sample(size, burnin=0, chains=chains, progressbar=False)
     t0 = time.perf_counter()
     post = sampler.sample(
         size, burnin=burn, chains=chains, progressbar=False
     )
     wall = time.perf_counter() - t0
-    ess_min = min(
-        float(np.min(ess_bulk(np.asarray(post[name]))))
-        for name in ('alpha', 'beta', 'tau')
-    )
+    del np
+    ess_min = min_ess_per_param(post.data)
     print(
         f'RESULT {cfg:12s} chains={chains:4d} {size / wall:7.1f} it/s '
         f'pooled_min_ess={ess_min:9.1f} ess/s={ess_min / wall:9.2f}'

@@ -68,7 +68,11 @@ def main(which):
             lattice_precision(25, 40, 8).todense(), np.float64
         )
         s_eig, u_eig, _ = icar_spectral(q)
-        u32 = jnp.asarray(u_eig, jnp.float32)
+        udt = (
+            jnp.bfloat16 if os.environ.get('EIGDT') == 'bf16'
+            else jnp.float32
+        )
+        u32 = jnp.asarray(u_eig, udt)
         s32 = jnp.asarray(s_eig, jnp.float32)
         omega = jnp.asarray(
             rng.uniform(0.02, 0.25, (CHAINS, N)), jnp.float32
@@ -197,6 +201,26 @@ def main(which):
             lambda c: jax.lax.scan(body, c, None, length=ITERS)
         )
         carry = keys
+
+    elif which == 'pgpack':
+        # packed-grid structure: all chains' lanes through ONE flat call
+        # (8 blocks of (256,128)) instead of 64 per-chain (32,128) blocks
+        from occuspytial_tpu.ops.pallas_pg import _key_words, _pg_flat
+
+        z0 = jnp.asarray(
+            rng.normal(0, 1.5, (CHAINS * m,)), jnp.float32
+        )
+
+        def body(carry, _):
+            k, z = carry
+            k1, k2 = jax.random.split(k)
+            draw = _pg_flat(_key_words(k2), z)
+            return (k1, z0 + 0.01 * draw), jnp.sum(draw)
+
+        fn = jax.jit(
+            lambda c: jax.lax.scan(body, c, None, length=ITERS)
+        )
+        carry = (jax.random.key(0), z0)
     else:
         raise SystemExit(f'unknown op {which}')
 
