@@ -242,7 +242,10 @@ if __name__ == '__main__':
     else:
         import subprocess
 
-        for op in (sys.argv[1:] or ('pg', 'cg', 'split', 'gamma', 'zupd', 'small')):
+        ops = sys.argv[1:] or (
+            'pg', 'cg', 'split', 'gamma', 'zupd', 'small'
+        )
+        for op in ops:
             p = subprocess.run(
                 [sys.executable, __file__, 'worker', op],
                 capture_output=True, text=True, timeout=1200,

@@ -9,7 +9,7 @@ CI. This script validates it on real hardware and commits the evidence:
    E/Var, seeded reproducibility, per-chain key contract, XOR-collision
    regression),
 2. bitwise reproducibility of a full LogitICARGibbs sampling run with the
-   default (pallas) PG path on the headline-size model,
+   default (pallas_packed) PG path on the headline-size model,
 3. the eta-solver residual diagnostic at the headline size.
 
 Run:  python scripts/tpu_check.py     (writes TPU_CHECK.log, exits nonzero
@@ -37,7 +37,7 @@ assert jax.default_backend() == 'tpu', jax.default_backend()
 Q, W, X, y, *_ = make_data(n=1000, ns=500, p=3, q=3, min_v=2, max_v=10,
                            random_state=7)
 s = LogitICARGibbs(Q, W, X, y, random_state=7)
-assert s.pg_method == 'pallas', s.pg_method
+assert s.pg_method == 'pallas_packed', s.pg_method
 a = s.sample(192, chains=8, progressbar=False)
 b = s.sample(192, chains=8, progressbar=False)
 for name in ('alpha', 'beta', 'tau'):

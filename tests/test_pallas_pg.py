@@ -76,3 +76,55 @@ def test_xor_colliding_key_sets_differ():
     a = np.asarray(f(keys, z))
     b = np.asarray(f(keys_xored, z))
     assert not np.allclose(a, b)
+
+
+def test_packed_moments_and_determinism():
+    from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas_packed
+    from occuspytial_tpu.ops.polyagamma import pg_mean, pg_var
+
+    keys = jax.random.split(jax.random.key(3), 32)
+    for z in (0.0, 1.5, 6.0):
+        zs = jnp.full((32, 8192), z)
+        d = jax.vmap(pg_devroye_pallas_packed)(keys, zs)
+        m, v = float(pg_mean(z)), float(pg_var(z))
+        assert abs(float(d.mean()) - m) < 5 * np.sqrt(v / d.size)
+        assert abs(float(d.var()) - v) < 0.05 * v + 5e-5
+    a = jax.vmap(pg_devroye_pallas_packed)(keys, jnp.ones((32, 512)))
+    b = jax.vmap(pg_devroye_pallas_packed)(keys, jnp.ones((32, 512)))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_key_batch_sensitivity():
+    """Packed draws are a function of the whole key batch: changing ANY
+    chain's key, or permuting the batch, changes the draws; XOR-colliding
+    batches do not alias (the block seeds mix per-chain hashes, not raw
+    XORs)."""
+    from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas_packed
+
+    z = jnp.ones((8, 640))
+    keys = jax.random.split(jax.random.key(5), 8)
+    base = np.asarray(jax.vmap(pg_devroye_pallas_packed)(keys, z))
+
+    # change one chain's key
+    keys2 = keys.at[3].set(jax.random.key(999))
+    d2 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(keys2, z))
+    assert not np.array_equal(base, d2)
+
+    # permute the batch
+    d3 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(keys[::-1], z))
+    assert not np.array_equal(base, d3)
+
+    # XOR-colliding pair batches: {a, b} vs {a^x, b^x} share the raw
+    # XOR of key words; mixed seeds must still differ
+    import jax.random as jr
+
+    ka, kb = jr.key_data(keys[0]), jr.key_data(keys[1])
+    x = np.uint32(0xDEADBEEF)
+    kc = jr.wrap_key_data((ka ^ x).astype(ka.dtype))
+    kd = jr.wrap_key_data((kb ^ x).astype(kb.dtype))
+    pair1 = jnp.stack([keys[0], keys[1]])
+    pair2 = jnp.stack([kc, kd])
+    z2 = jnp.ones((2, 640))
+    p1 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(pair1, z2))
+    p2 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(pair2, z2))
+    assert not np.array_equal(p1, p2)
