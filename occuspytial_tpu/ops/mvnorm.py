@@ -28,16 +28,70 @@ def sum_to_zero(x, z):
     return x - z * (jnp.sum(x) / jnp.sum(z))
 
 
+#: below this dimension the Cholesky/solves are unrolled into scalar
+#: expressions (coefficient-count O(d^3) but fully fusible elementwise
+#: ops) instead of LAPACK-style custom calls, whose fixed per-call cost
+#: dwarfs the arithmetic for the p ~ 3 regression blocks every Gibbs
+#: iteration draws
+_UNROLL_DIM = 6
+
+
+def _chol_unrolled(a, d):
+    """Lower Cholesky factor of a (d, d) SPD matrix as scalar ops."""
+    low = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = a[i, j]
+            for k in range(j):
+                s = s - low[i][k] * low[j][k]
+            if i == j:
+                low[i][j] = jnp.sqrt(s)
+            else:
+                low[i][j] = s / low[j][j]
+    return low
+
+
+def _fwd_unrolled(low, b, d):
+    """Solve L y = b (lower triangular, scalar list form)."""
+    y = [None] * d
+    for i in range(d):
+        s = b[i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y[i] = s / low[i][i]
+    return y
+
+
+def _bwd_unrolled(low, y, d):
+    """Solve L' x = y."""
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = y[i]
+        for k in range(i + 1, d):
+            s = s - low[k][i] * x[k]
+        x[i] = s / low[i][i]
+    return x
+
+
 def precision_mvnorm(key, b, prec):
     """Draw from N(Lambda^{-1} b, Lambda^{-1}), ``b`` (d,), ``prec`` (d, d).
 
     Pure (non-clobbering) TPU analog of reference distributions.pyx:42-110.
     Uses mean = cho_solve(L, b) and fluctuation L'^{-T} eps, which has
     covariance (L L')^{-1} = Lambda^{-1}; one factorization, one extra
-    triangular solve.
+    triangular solve. For small d (regression blocks) the factorization
+    and solves are unrolled into fusible scalar expressions — no
+    factorization custom call in the hot loop.
     """
-    chol = jnp.linalg.cholesky(prec)
     eps = jax.random.normal(key, b.shape, b.dtype)
+    d = b.shape[-1]
+    if b.ndim == 1 and d <= _UNROLL_DIM:
+        low = _chol_unrolled(prec, d)
+        # mean: L L' m = b ; fluctuation: L' f = eps
+        mean = _bwd_unrolled(low, _fwd_unrolled(low, b, d), d)
+        fluct = _bwd_unrolled(low, eps, d)
+        return jnp.stack([m + f for m, f in zip(mean, fluct)])
+    chol = jnp.linalg.cholesky(prec)
     mean = jax.scipy.linalg.cho_solve((chol, True), b)
     fluct = jax.scipy.linalg.solve_triangular(chol, eps, lower=True, trans=1)
     return mean + fluct
