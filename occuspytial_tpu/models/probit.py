@@ -70,10 +70,13 @@ class _ProbitBase(GibbsBase):
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, collapsed=True, px=True, px_sd=0.3,
+        asis=True, asis_sd=1.0,
     ):
         self.collapsed = bool(collapsed)
         self.px = bool(px)
         self.px_sd = float(px_sd)
+        self.asis = bool(asis)
+        self.asis_sd = float(asis_sd)
         super().__init__(Q, W, X, y, hparams, random_state, dtype=dtype)
         # exact orbit draw requires a zero-mean beta prior (else MH)
         self._px_exact = bool(
@@ -86,6 +89,8 @@ class _ProbitBase(GibbsBase):
             ('px', self.px),
             ('px_sd', self.px_sd),
             ('_px_exact', self._px_exact),
+            ('asis', self.asis),
+            ('asis_sd', self.asis_sd),
         )
 
     def _eta_quad(self, eta, fixed):
@@ -166,6 +171,44 @@ class _ProbitBase(GibbsBase):
         if not marginal:  # eps is not part of the marginal orbit
             s['eps'] = gg * eps
         s['spatial'] = gg * s['spatial']
+        return s
+
+    def _asis_tau(self, key, s, fixed):
+        """Sufficient/ancillary tau interweave (probit analog of
+        logit.py:_asis_tau — same derivation with the Gaussian utility
+        likelihood u ~ N(Xb + spatial + eps, 1) replacing the
+        Polya-Gamma quadratic):
+
+            log f(log t) = a0*log t - b0*t + A/sqrt(t) - C/t
+            A = (u - Xb - eps)' spatial_a,  C = 0.5 ||spatial_a||^2
+        """
+        tau = s['tau']
+        rt = jnp.sqrt(tau)
+        spatial_a = rt * s['spatial']
+        d = s['omega_b'] - fixed['X'] @ s['beta'] - s['eps']
+        a_lin = jnp.sum(d * spatial_a)
+        c_quad = 0.5 * jnp.sum(spatial_a * spatial_a)
+        a0 = fixed['tau_shape'] - 0.5 * self._eta_dim
+        b0 = fixed['tau_rate']
+
+        def logf(log_t):
+            t = jnp.exp(log_t)
+            return (
+                a0 * log_t - b0 * t
+                + a_lin * jax.lax.rsqrt(t) - c_quad / t
+            )
+
+        k1, k2 = jax.random.split(key)
+        lt = jnp.log(tau)
+        prop = lt + self.asis_sd * jax.random.normal(k1, (), self.dtype)
+        accept = jnp.log(
+            jax.random.uniform(k2, (), self.dtype)
+        ) < (logf(prop) - logf(lt))
+        new_t = jnp.where(accept, jnp.exp(prop), tau)
+        inv_rt = jax.lax.rsqrt(new_t)
+        s['tau'] = new_t
+        s['eta'] = (rt * s['eta']) * inv_rt
+        s['spatial'] = spatial_a * inv_rt
         return s
 
     def _init_state(self, key, fixed):
@@ -308,6 +351,8 @@ class _ProbitBase(GibbsBase):
         if self.px:
             s = self._px_scale_move(jax.random.fold_in(key, 7919), s,
                                     fixed)
+        if self.asis:
+            s = self._asis_tau(jax.random.fold_in(key, 31337), s, fixed)
         omega_a = self._update_omega_a(keys[5], s, fixed)
         s['alpha'] = self._update_alpha(keys[6], s, omega_a, fixed)
         s['z'] = self._update_z(keys[7], s, fixed)

@@ -204,3 +204,22 @@ def test_solver_residual_diagnostic():
         Q, W, X, y, random_state=0, solver='cg', cg_iters=1,
     )
     assert starved.solver_residual() > r_cg
+
+
+def test_asis_same_posterior_logit():
+    """The ASIS tau interweave must leave the posterior invariant:
+    on/off runs agree on posterior means within combined MC error."""
+    import numpy as np
+
+    from occuspytial_tpu import LogitICARGibbs
+
+    on = LogitICARGibbs(Q, W, X, y, random_state=5, asis=True)
+    off = LogitICARGibbs(Q, W, X, y, random_state=5, asis=False)
+    po = on.sample(1200, burnin=400, chains=4, progressbar=False)
+    pf = off.sample(1200, burnin=400, chains=4, progressbar=False)
+    for name in ('alpha', 'beta'):
+        a, b = po[name], pf[name]
+        # generous bound: 4 chains x 800 draws of a correlated chain
+        assert np.abs(a.mean((0, 1)) - b.mean((0, 1))).max() < 0.35
+    # tau mixing must not degrade
+    assert po['tau'].mean() > 0
