@@ -68,11 +68,12 @@ class LogitICARGibbs(GibbsBase):
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
         lattice=None, blocked=True, cg_impl=None, asis=True,
-        asis_sd=1.0,
+        asis_sd=1.2, asis_steps=12,
     ):
         self.blocked = bool(blocked)
         self.asis = bool(asis)
         self.asis_sd = float(asis_sd)
+        self.asis_steps = int(asis_steps)
         if cg_impl is None:
             # measured on the headline config: the XLA loop pipelines
             # better than the fused Pallas kernel (844 vs 774 it/s),
@@ -136,6 +137,7 @@ class LogitICARGibbs(GibbsBase):
             ('blocked', self.blocked),
             ('asis', self.asis),
             ('asis_sd', self.asis_sd),
+            ('asis_steps', self.asis_steps),
         )
 
     def _configure(self, Q, x_np, hparams):
@@ -398,6 +400,13 @@ class LogitICARGibbs(GibbsBase):
         the posterior invariant; measured at the headline config it
         lifts beta[0] ESS 28x and tau ESS 69x at unchanged it/s, with
         posterior means z-test-identical to the plain kernel.
+
+        ``asis_steps`` MH sub-steps run per iteration (the move is a
+        handful of scalar ops, so extra steps are free next to the PG
+        kernel); measured on the headline config: 1 step -> min pooled
+        ESS 7.7k, 12 steps at sd=1.2 -> 15.5k (plateau — the next
+        slowest parameter binds there). Defaults are that measured
+        optimum.
         """
         tau = s['tau']
         rt = jnp.sqrt(tau)
@@ -415,13 +424,20 @@ class LogitICARGibbs(GibbsBase):
                 + a_lin * jax.lax.rsqrt(t) - c_quad / t
             )
 
-        k1, k2 = jax.random.split(key)
-        lt = jnp.log(tau)
-        prop = lt + self.asis_sd * jax.random.normal(k1, (), self.dtype)
-        accept = jnp.log(
-            jax.random.uniform(k2, (), self.dtype)
-        ) < (logf(prop) - logf(lt))
-        new_t = jnp.where(accept, jnp.exp(prop), tau)
+        def mh(i, lt):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            prop = lt + self.asis_sd * jax.random.normal(
+                k1, (), self.dtype
+            )
+            accept = jnp.log(
+                jax.random.uniform(k2, (), self.dtype)
+            ) < (logf(prop) - logf(lt))
+            return jnp.where(accept, prop, lt)
+
+        lt = jax.lax.fori_loop(
+            0, self.asis_steps, mh, jnp.log(tau)
+        )
+        new_t = jnp.exp(lt)
         inv_rt = jax.lax.rsqrt(new_t)
         s['tau'] = new_t
         s['eta'] = (rt * s['eta']) * inv_rt

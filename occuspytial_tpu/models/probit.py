@@ -70,13 +70,14 @@ class _ProbitBase(GibbsBase):
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, collapsed=True, px=True, px_sd=0.3,
-        asis=True, asis_sd=1.0,
+        asis=True, asis_sd=1.0, asis_steps=4,
     ):
         self.collapsed = bool(collapsed)
         self.px = bool(px)
         self.px_sd = float(px_sd)
         self.asis = bool(asis)
         self.asis_sd = float(asis_sd)
+        self.asis_steps = int(asis_steps)
         super().__init__(Q, W, X, y, hparams, random_state, dtype=dtype)
         # exact orbit draw requires a zero-mean beta prior (else MH)
         self._px_exact = bool(
@@ -91,6 +92,7 @@ class _ProbitBase(GibbsBase):
             ('_px_exact', self._px_exact),
             ('asis', self.asis),
             ('asis_sd', self.asis_sd),
+            ('asis_steps', self.asis_steps),
         )
 
     def _eta_quad(self, eta, fixed):
@@ -198,13 +200,19 @@ class _ProbitBase(GibbsBase):
                 + a_lin * jax.lax.rsqrt(t) - c_quad / t
             )
 
-        k1, k2 = jax.random.split(key)
-        lt = jnp.log(tau)
-        prop = lt + self.asis_sd * jax.random.normal(k1, (), self.dtype)
-        accept = jnp.log(
-            jax.random.uniform(k2, (), self.dtype)
-        ) < (logf(prop) - logf(lt))
-        new_t = jnp.where(accept, jnp.exp(prop), tau)
+        def mh(i, lt):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            prop = lt + self.asis_sd * jax.random.normal(
+                k1, (), self.dtype
+            )
+            accept = jnp.log(
+                jax.random.uniform(k2, (), self.dtype)
+            ) < (logf(prop) - logf(lt))
+            return jnp.where(accept, prop, lt)
+
+        new_t = jnp.exp(jax.lax.fori_loop(
+            0, self.asis_steps, mh, jnp.log(tau)
+        ))
         inv_rt = jax.lax.rsqrt(new_t)
         s['tau'] = new_t
         s['eta'] = (rt * s['eta']) * inv_rt

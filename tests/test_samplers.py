@@ -208,18 +208,30 @@ def test_solver_residual_diagnostic():
 
 def test_asis_same_posterior_logit():
     """The ASIS tau interweave must leave the posterior invariant:
-    on/off runs agree on posterior means within combined MC error."""
+    on/off runs agree on posterior means within combined MC error
+    (z-test with per-component MCSE — the plain kernel's intercept
+    mixes slowly on this small dataset, so a fixed tolerance would
+    really be testing its ESS, not the ASIS math)."""
     import numpy as np
 
     from occuspytial_tpu import LogitICARGibbs
+    from occuspytial_tpu.diagnostics import ess_bulk
 
     on = LogitICARGibbs(Q, W, X, y, random_state=5, asis=True)
     off = LogitICARGibbs(Q, W, X, y, random_state=5, asis=False)
-    po = on.sample(1200, burnin=400, chains=4, progressbar=False)
-    pf = off.sample(1200, burnin=400, chains=4, progressbar=False)
+    po = on.sample(2000, burnin=600, chains=4, progressbar=False)
+    pf = off.sample(2000, burnin=600, chains=4, progressbar=False)
     for name in ('alpha', 'beta'):
-        a, b = po[name], pf[name]
-        # generous bound: 4 chains x 800 draws of a correlated chain
-        assert np.abs(a.mean((0, 1)) - b.mean((0, 1))).max() < 0.35
-    # tau mixing must not degrade
-    assert po['tau'].mean() > 0
+        a = np.asarray(po[name], np.float64)
+        b = np.asarray(pf[name], np.float64)
+        for j in range(a.shape[2]):
+            ea = max(float(ess_bulk(a[:, :, j])), 4.0)
+            eb = max(float(ess_bulk(b[:, :, j])), 4.0)
+            se = np.sqrt(
+                a[:, :, j].std() ** 2 / ea + b[:, :, j].std() ** 2 / eb
+            )
+            diff = abs(a[:, :, j].mean() - b[:, :, j].mean())
+            assert diff < 5.0 * se + 0.05, (name, j, diff, se)
+    # tau mixing must improve, not degrade, under the interweave
+    assert float(ess_bulk(np.asarray(po['tau'], np.float64))) > 0.5 * \
+        float(ess_bulk(np.asarray(pf['tau'], np.float64)))
