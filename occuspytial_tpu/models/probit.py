@@ -200,14 +200,17 @@ class _ProbitBase(GibbsBase):
                 + a_lin * jax.lax.rsqrt(t) - c_quad / t
             )
 
+        k1, k2 = jax.random.split(key)
+        steps = jax.random.normal(
+            k1, (self.asis_steps,), self.dtype
+        ) * self.asis_sd
+        log_us = jnp.log(
+            jax.random.uniform(k2, (self.asis_steps,), self.dtype)
+        )
+
         def mh(i, lt):
-            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
-            prop = lt + self.asis_sd * jax.random.normal(
-                k1, (), self.dtype
-            )
-            accept = jnp.log(
-                jax.random.uniform(k2, (), self.dtype)
-            ) < (logf(prop) - logf(lt))
+            prop = lt + steps[i]
+            accept = log_us[i] < (logf(prop) - logf(lt))
             return jnp.where(accept, prop, lt)
 
         new_t = jnp.exp(jax.lax.fori_loop(
