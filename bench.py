@@ -4,18 +4,22 @@
 Headline (the single stdout JSON line, consumed by the driver): config 4 —
 64 vmapped chains of the logit/ICAR Gibbs sampler on a simulated 1000-site
 square-lattice dataset. Metric: worst-parameter pooled bulk-ESS per second
-of sampling wall time (min over all alpha/beta components, ESS pooled
+of sampling wall time (min over all alpha/beta/tau components, ESS pooled
 across chains), against the same metric from a measured single-core CPU
 floor running the reference's algorithm (benchmarks/reference_floor.py;
 the reference's own Cython extensions cannot be built in this image, see
 BASELINE.md). The floor uses the *same pooled multi-chain estimator* and
 excludes one-time setup, exactly like the TPU side.
 
-The remaining configs (1: 100-site single-chain logit ICAR, 2: probit
-ICAR, 3: logit RSR, 5: 10k-site matrix-free stencil ICAR) are measured
-and written to BENCH_DETAIL.json with detail on stderr.
+Run order is budget-aware (round-1 lesson: the driver kills long runs):
+the headline is measured FIRST and the driver JSON line printed (flushed)
+the moment it exists; the remaining configs (1: 100-site single-chain
+logit ICAR, 2: probit ICAR, 3: logit RSR, 5: 10k-site matrix-free stencil
+ICAR) then run until the ``BENCH_BUDGET_S`` deadline (default 840 s),
+writing BENCH_DETAIL.json incrementally after each config.
 
-Floor results are cached in benchmarks/floor_cache.json (config-keyed).
+Floor results are cached in benchmarks/floor_cache.json (config-keyed,
+metric-tagged so a metric change invalidates stale entries).
 """
 
 import json
@@ -40,15 +44,28 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+#: cache-busting tag: floor entries computed under a different metric
+#: definition must not be reused (round 1 excluded tau; VERDICT #7)
+METRIC_TAG = 'min-ess alpha+beta+tau'
+
+
 def min_ess_per_param(samples):
-    """Min pooled bulk-ESS over all alpha/beta scalar components."""
+    """Min pooled bulk-ESS over all alpha/beta/tau scalar components.
+
+    tau is included deliberately: it is the historically slowest
+    parameter (the ASIS interweave exists because of it), so the judged
+    headline is the true worst-parameter number.
+    """
     from occuspytial_tpu import diagnostics as dg
 
     vals = []
-    for name in ('alpha', 'beta'):
+    for name in ('alpha', 'beta', 'tau'):
         arr = samples[name]
-        for j in range(arr.shape[2]):
-            vals.append(dg.ess_bulk(arr[:, :, j]))
+        if arr.ndim == 2:
+            vals.append(dg.ess_bulk(arr))
+        else:
+            for j in range(arr.shape[2]):
+                vals.append(dg.ess_bulk(arr[:, :, j]))
     return float(np.nanmin(vals))
 
 
@@ -98,6 +115,7 @@ def measure_floor_headline(dataset):
     key = {k: HEAD[k] for k in
            ('n', 'ns', 'min_v', 'max_v', 'seed', 'floor_chains',
             'floor_size', 'floor_burnin')}
+    key['metric'] = METRIC_TAG
     cache = _load_cache()
     cached = cache.get('headline')
     if cached and cached.get('config') == key:
@@ -187,7 +205,7 @@ def measure_floor_config(name, sampler_factory, chains, size, burnin):
     """Generic cached floor: sequential reference-algorithm chains."""
     cache = _load_cache()
     key = {'name': name, 'chains': chains, 'size': size,
-           'burnin': burnin}
+           'burnin': burnin, 'metric': METRIC_TAG}
     cached = cache.get(name)
     if cached and cached.get('config') == key:
         log(f'floor[{name}]: cached {cached["ess_per_sec"]:.3f} ESS/sec')
@@ -263,16 +281,19 @@ def run_one(which):
                     res['ess_per_sec'] / floor['ess_per_sec'], 2
                 )
         else:
-            # floor: the reference's only probit sampler is the RSR one
-            # (gibbs/probit.py:27-270); measured on the same dataset
-            from benchmarks.reference_floor import NumpyProbitRSR
-
-            floor = measure_floor_config(
-                'floor2_probit_rsr_100site',
-                lambda: NumpyProbitRSR(Q1, W1, X1, y1, random_state=3),
-                chains=4, size=2048, burnin=512,
-            )
             if which == '2':
+                # like-for-like floor: the same probit/ICAR algorithm
+                # family on CPU (full-rank constrained eta conditional),
+                # not the cheaper q-dimensional RSR floor (VERDICT r1 #3)
+                from benchmarks.reference_floor import NumpyProbitICAR
+
+                floor = measure_floor_config(
+                    'floor2_probit_icar_100site',
+                    lambda: NumpyProbitICAR(
+                        Q1, W1, X1, y1, random_state=3
+                    ),
+                    chains=4, size=2048, burnin=512,
+                )
                 # per-chain size/burnin match the floor protocol above
                 # (2048/512), so the short-chain bias of the pooled ESS
                 # estimator cancels in the vs_floor ratio
@@ -282,6 +303,15 @@ def run_one(which):
                     2048, 512, 64,
                 )
             else:  # '2b': like-for-like vs the reference's RSR probit
+                from benchmarks.reference_floor import NumpyProbitRSR
+
+                floor = measure_floor_config(
+                    'floor2_probit_rsr_100site',
+                    lambda: NumpyProbitRSR(
+                        Q1, W1, X1, y1, random_state=3
+                    ),
+                    chains=4, size=2048, burnin=512,
+                )
                 # 512 chains: measured sweep (scripts/chain_scaling.py)
                 # — pooled ESS/sec keeps rising past 256 chains on this
                 # tiny model (531 it/s x 512 chains beats 2225 x 64)
@@ -350,7 +380,7 @@ def run_one(which):
     print('RESULT ' + json.dumps(res))
 
 
-def run_subprocess_config(which, attempts=2, best_of=1):
+def run_subprocess_config(which, attempts=2, best_of=1, deadline=None):
     """Run one config in fresh processes (isolates transient TPU
     runtime faults); retry with a brand-new process on failure.
 
@@ -358,12 +388,19 @@ def run_subprocess_config(which, attempts=2, best_of=1):
     succeed (or ``attempts`` processes were tried) and return the
     fastest — wall clock through the device tunnel is host-load
     sensitive, while the draws themselves are seed-deterministic.
+    ``deadline``: absolute time.time() after which no further process
+    is launched (already-collected successes are still returned).
     """
     import subprocess
 
     last = None
     successes = []
     for attempt in range(attempts):
+        if deadline is not None and time.time() > deadline and (
+                successes or attempt > 0):
+            log(f'config {which}: budget deadline reached after '
+                f'{attempt} attempt(s)')
+            break
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--config', which],
             capture_output=True, text=True, timeout=3600, cwd=HERE,
@@ -387,13 +424,21 @@ def run_subprocess_config(which, attempts=2, best_of=1):
                     'tail': tail}
         log(f'config {which}: attempt {attempt} failed; '
             f'retrying in a fresh process')
-        time.sleep(10)
+        time.sleep(2)
     if successes:
         return max(successes, key=lambda r: r.get('ess_per_sec', 0.0))
     return last or {'config': which, 'error': 'all attempts failed'}
 
 
 def main():
+    """Headline FIRST, one driver-consumable JSON line IMMEDIATELY after
+    it (round-1 failure mode: the line only printed after ~30 min of
+    detail configs and the driver killed the run before it appeared),
+    then detail configs until the BENCH_BUDGET_S deadline."""
+    t_start = time.time()
+    budget = float(os.environ.get('BENCH_BUDGET_S', 840))
+    deadline = t_start + budget
+
     import jax
 
     jax.config.update('jax_compilation_cache_dir',
@@ -401,26 +446,30 @@ def main():
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-    from occuspytial_tpu import (
-        LogitICARGibbs,
-        LogitRSRGibbs,
-        ProbitICARGibbs,
-    )
     from occuspytial_tpu.utils import make_data
 
-    log(f'backend: {jax.default_backend()} ({jax.devices()[0]})')
+    log(f'backend: {jax.default_backend()} ({jax.devices()[0]}), '
+        f'budget {budget:.0f}s')
     detail = {}
 
-    # ---- headline floor (CPU, cached) --------------------------------- #
-    Qh, Wh, Xh, yh, alpha, beta, tau, z = make_data(
+    def flush_detail():
+        with open(DETAIL, 'w') as fh:
+            json.dump(detail, fh, indent=1)
+
+    # ---- headline floor (CPU, cached in-repo) ------------------------- #
+    Qh, Wh, Xh, yh, *_ = make_data(
         n=HEAD['n'], ns=HEAD['ns'], p=HEAD['p'], q=HEAD['q'],
         min_v=HEAD['min_v'], max_v=HEAD['max_v'],
         random_state=HEAD['seed'],
     )
     floor = measure_floor_headline((Qh, Wh, Xh, yh))
 
-    # ---- every TPU config in fresh subprocesses ----------------------- #
-    head = run_subprocess_config('4', attempts=4, best_of=2)
+    # ---- headline measurement, then print the driver line ------------- #
+    head = run_subprocess_config(
+        '4', attempts=3, best_of=2,
+        # leave at least half the budget for the line + detail configs
+        deadline=t_start + 0.5 * budget,
+    )
     detail['4_logit_icar_1000site_64chains'] = head
     detail['floor_headline'] = floor
 
@@ -441,16 +490,20 @@ def main():
 
     vs = head['ess_per_sec'] / floor['ess_per_sec']
     log(f'headline vs floor: {vs:.1f}x')
-
-    detail['1_logit_icar_100site_1chain'] = run_subprocess_config('1')
-    detail['2_probit_icar_100site'] = run_subprocess_config('2')
-    detail['2b_probit_rsr_100site'] = run_subprocess_config('2b')
-    detail['3_logit_rsr_1000site'] = run_subprocess_config('3')
-    detail['5_logit_icar_10000site_stencil'] = run_subprocess_config('5')
-
     detail['vs_baseline_headline'] = round(vs, 2)
-    with open(DETAIL, 'w') as fh:
-        json.dump(detail, fh, indent=1)
+    flush_detail()
+
+    print(json.dumps({
+        'metric': (
+            'aggregate ESS/sec (min over alpha+beta+tau, pooled over '
+            f'{HEAD["chains"]} chains, LogitICARGibbs, 1000-site '
+            'ICAR lattice) vs single-core CPU reference floor'
+        ),
+        'value': head['ess_per_sec'],
+        'unit': 'ESS/sec',
+        'vs_baseline': round(vs, 2),
+    }), flush=True)
+
     # only a real successful measurement may become the stale-fallback;
     # never persist a failure sentinel (round-1 bug: a 0.0 got written
     # here and was then read back as "last good" forever after)
@@ -458,18 +511,25 @@ def main():
             and not head.get('stale')):
         with open(DETAIL + '.last_good', 'w') as fh:
             json.dump(head, fh, indent=1)
-    log(f'detail written to {DETAIL}')
 
-    print(json.dumps({
-        'metric': (
-            'aggregate ESS/sec (min over alpha+beta, pooled over '
-            f'{HEAD["chains"]} chains, LogitICARGibbs, 1000-site '
-            'ICAR lattice) vs single-core CPU reference floor'
-        ),
-        'value': head['ess_per_sec'],
-        'unit': 'ESS/sec',
-        'vs_baseline': round(vs, 2),
-    }))
+    # ---- detail configs, budget-gated --------------------------------- #
+    for slot, which in (
+        ('1_logit_icar_100site_1chain', '1'),
+        ('2_probit_icar_100site', '2'),
+        ('2b_probit_rsr_100site', '2b'),
+        ('3_logit_rsr_1000site', '3'),
+        ('5_logit_icar_10000site_stencil', '5'),
+    ):
+        if time.time() > deadline:
+            log(f'budget exhausted ({budget:.0f}s); skipping config '
+                f'{which} and the rest')
+            detail[slot] = {'config': which, 'skipped': 'budget'}
+            continue
+        detail[slot] = run_subprocess_config(which, deadline=deadline)
+        flush_detail()
+
+    log(f'detail written to {DETAIL} '
+        f'({time.time() - t_start:.0f}s total)')
 
 
 if __name__ == '__main__':

@@ -405,6 +405,109 @@ class NumpyLogitRSR(NumpyLogitICAR):
         self.k = self.z - 0.5
 
 
+class NumpyProbitICAR(NumpyLogitICAR):
+    """CPU floor for the probit/ICAR sampler (like-for-like config 2).
+
+    The reference has no probit/ICAR sampler; this is its probit/RSR
+    algorithm (reference gibbs/probit.py:27-270) with the Moran-basis
+    eta conditional replaced by the full-rank ICAR analog — precision
+    ``tau*Q + I`` on the sum-to-zero hyperplane, drawn by the same
+    perturbation + solve + kriging-projection scheme the reference's
+    logit/ICAR eta uses (gibbs/logit.py:73-99) — so the rebuild's
+    ``ProbitICARGibbs`` is measured against the same model family on
+    CPU, not against the cheaper q-dimensional RSR floor.
+    """
+
+    def __init__(self, Q, W, X, y, random_state=None):
+        super().__init__(Q, W, X, y, random_state=random_state)
+        self.XTX_plus_bprec = self.X.T @ self.X + self.b_prec
+        self.Q_dense = self.Q.toarray()
+        self.reset(random_state)
+
+    def reset(self, random_state=None):
+        super().reset(random_state)
+        self.eps = self.rng.standard_normal(self.n)
+        self.omega_b = np.zeros(self.n)
+
+    def _eta_draw_probit(self):
+        """Constrained draw from N(Lambda^{-1} b, Lambda^{-1}) on the
+        sum-to-zero hyperplane, Lambda = tau*Q + I (unit utility noise)."""
+        from scipy.linalg import cho_factor, cho_solve
+
+        b = self.omega_b - self.X @ self.beta - self.eps
+        eps_all = self.rng.standard_normal(self.n + self.eigen.shape[1])
+        pert = (
+            b
+            + eps_all[:self.n]
+            + self.eigen @ (np.sqrt(self.tau) * eps_all[self.n:])
+        )
+        lam = self.tau * self.Q_dense + np.eye(self.n)
+        cf = cho_factor(lam, lower=True)
+        x = cho_solve(cf, pert)
+        h = cho_solve(cf, np.ones(self.n))
+        return x - h * (x.sum() / h.sum())
+
+    def step(self):
+        from scipy.special import log_ndtr, ndtr
+
+        rng = self.rng
+        loc = self.X @ self.beta + self.eta + self.eps
+        occ = self.z > 0
+        self.omega_b[occ] = _truncnorm_right(rng, loc[occ])
+        self.omega_b[~occ] = _truncnorm_left(rng, loc[~occ])
+
+        rate = 0.5 * self.eta @ (self.Q_dense @ self.eta) + self.tau_rate
+        self.tau = rng.gamma(self.tau_shape, 1.0 / rate)
+
+        mean = 0.5 * (self.omega_b - self.X @ self.beta - self.eta)
+        self.eps = mean + rng.standard_normal(self.n) / np.sqrt(2.0)
+
+        self.eta = self._eta_draw_probit()
+
+        b_vec = self.b_prec_by_mu + self.X.T @ (
+            self.omega_b - self.eta - self.eps
+        )
+        self.beta = _prec_mvnorm_np(rng, b_vec, self.XTX_plus_bprec)
+
+        occupied = self.z[self.site_ids] > 0
+        seg_occ = np.flatnonzero(occupied)
+        rows = np.concatenate([
+            np.arange(self.sections[i], self.sections[i + 1])
+            for i in seg_occ
+        ]) if seg_occ.size else np.empty(0, dtype=int)
+        w_occ = self.W_stack[rows]
+        y_occ = self.y_stack[rows] > 0
+        loc_a = w_occ @ self.alpha
+        omega_a = np.empty(loc_a.shape[0])
+        omega_a[y_occ] = _truncnorm_right(rng, loc_a[y_occ])
+        omega_a[~y_occ] = _truncnorm_left(rng, loc_a[~y_occ])
+        a_mat = w_occ.T @ w_occ + self.a_prec
+        b_vec = self.a_prec_by_mu + w_occ.T @ omega_a
+        self.alpha = _prec_mvnorm_np(rng, b_vec, a_mat)
+
+        no_ids = self.site_ids[~self.obs_site]
+        psi_no = ndtr(
+            self.X[no_ids] @ self.beta + self.eta[no_ids]
+            + self.eps[no_ids]
+        )
+        log_det = log_ndtr(-(self.W_stack @ self.alpha))
+        seg_no = np.flatnonzero(~self.obs_site)
+        prod_miss = np.exp(np.array([
+            log_det[self.sections[i]:self.sections[i + 1]].sum()
+            for i in seg_no
+        ]))
+        num = psi_no * prod_miss
+        p_no = num / (1.0 - psi_no + num)
+        self.z[no_ids] = rng.random(no_ids.size) < p_no
+        if self.not_surveyed.size:
+            ns = self.not_surveyed
+            p_ns = ndtr(
+                self.X[ns] @ self.beta + self.eta[ns] + self.eps[ns]
+            )
+            self.z[ns] = rng.random(ns.size) < p_ns
+        self.k = self.z - 0.5
+
+
 class NumpyProbitRSR(NumpyLogitRSR):
     """Reference-equivalent probit/RSR Gibbs sampler (CPU floor).
 

@@ -1,90 +1,103 @@
 """Preallocated per-parameter sample storage (host side).
 
-API-parity port of reference chain.py:4-117. In the TPU rebuild the hot
-path returns whole stacked arrays from a compiled scan, so ``Chain`` is a
+API parity with reference chain.py. In the TPU rebuild the hot path
+returns whole stacked arrays from a compiled scan, so ``Chain`` is a
 host-side convenience for incremental workflows (streaming draws out of
 chunked runs, resuming, growing storage) rather than the per-iteration
 store it is in the reference (reference gibbs/base.py:227-239).
+
+Rebuild design: one contiguous ``(capacity, total_dim)`` row buffer with
+named column slices, instead of the reference's dict of per-parameter
+arrays — ``full`` is then a zero-copy view and block writes land in one
+contiguous assignment per chunk.
 """
 
 import numpy as np
 
 
 class Chain:
-    """Container to store parameter chains during sampling.
+    """Fixed-capacity store of posterior draws.
 
     Parameters
     ----------
     params : Dict[str, int]
         Parameter name -> dimensionality (1 for scalars).
     size : int
-        Capacity of the chain.
+        Initial capacity (rows); grow it later with :meth:`expand`.
     """
 
     def __init__(self, params, size):
-        self.size = size
         self._names = tuple(params)
-        self._store = {}
-        self._index = 0
-        for key, cols in params.items():
-            self._store[key] = (
-                np.zeros((size, cols)) if cols > 1 else np.zeros(size)
-            )
+        self._scalar = frozenset(k for k, d in params.items() if d <= 1)
+        cols, offset = {}, 0
+        for name, dim in params.items():
+            cols[name] = slice(offset, offset + max(int(dim), 1))
+            offset += max(int(dim), 1)
+        self._cols = cols
+        self._buf = np.zeros((int(size), offset))
+        self._fill = 0
+
+    @property
+    def size(self):
+        """Current capacity in rows."""
+        return self._buf.shape[0]
 
     @property
     def full(self):
-        """Concatenation of all parameter chains, trimmed to filled rows."""
-        out = []
-        for val in self._store.values():
-            out.append(val if val.ndim > 1 else val[:, None])
-        return np.concatenate(out, axis=1)[: self._index]
+        """All parameters side by side, trimmed to the filled rows
+        (a view into the underlying buffer, not a copy)."""
+        return self._buf[: self._fill]
+
+    def _require_room(self, rows):
+        if self._fill + rows > self.size:
+            raise ValueError(
+                'Chain is full, cannot hold '
+                f'{self._fill + rows} > {self.size} draws'
+            )
 
     def append(self, params):
-        """Append one draw per parameter; raises when capacity is reached."""
-        if self._index > (self.size - 1):
-            raise ValueError('Chain is full, cannot append any new values')
-        for key, value in params.items():
-            self._store[key][self._index] = value
-        self._index += 1
+        """Write one draw per parameter; raises once capacity is hit."""
+        self._require_room(1)
+        row = self._buf[self._fill]
+        for name, value in params.items():
+            row[self._cols[name]] = value
+        self._fill += 1
 
     def extend(self, params):
-        """Append a block of draws per parameter (vectorized append).
+        """Write a block of draws per parameter (vectorized append).
 
-        ``params`` maps name -> (m[, dim]) array. TPU-rebuild addition: the
-        chunked scan driver emits draws in blocks, not one at a time.
+        ``params`` maps name -> (m[, dim]) array. TPU-rebuild addition:
+        the chunked scan driver emits draws in blocks, not one at a time.
+        All validation happens before any write, so a failing call never
+        leaves the store partially updated.
         """
-        # validate every block before writing anything: a mid-write error
-        # must not leave the store partially updated or out of sync with
-        # the fill index
-        blocks = {k: np.asarray(v) for k, v in params.items()}
-        lengths = {v.shape[0] for v in blocks.values()}
-        if len(lengths) > 1:
+        blocks = {k: np.atleast_2d(np.asarray(v, dtype=float).T).T
+                  for k, v in params.items()}
+        rows = {b.shape[0] for b in blocks.values()}
+        if len(rows) > 1:
             raise ValueError(
-                f'all parameter blocks must share one leading length, '
-                f'got {sorted(lengths)}'
+                'all parameter blocks must share one leading length, '
+                f'got {sorted(rows)}'
             )
-        m = lengths.pop() if lengths else 0
-        if self._index + m > self.size:
-            raise ValueError('Chain is full, cannot append any new values')
-        for key, value in blocks.items():
-            self._store[key][self._index:self._index + m] = value
-        self._index += m
+        m = rows.pop() if rows else 0
+        self._require_room(m)
+        window = self._buf[self._fill:self._fill + m]
+        for name, block in blocks.items():
+            window[:, self._cols[name]] = block
+        self._fill += m
 
     def expand(self, size):
-        """Grow capacity by ``size`` rows (reference chain.py:76-92)."""
-        for key, value in self._store.items():
-            if value.ndim > 1:
-                new = np.zeros((size, value.shape[1]))
-                self._store[key] = np.append(value, new, axis=0)
-            else:
-                self._store[key] = np.append(value, np.zeros(size))
-        self.size += size
+        """Grow capacity by ``size`` rows (reference chain.py contract)."""
+        extra = np.zeros((int(size), self._buf.shape[1]))
+        self._buf = np.concatenate([self._buf, extra], axis=0)
 
     def __getitem__(self, name):
-        return self._store[name][: self._index]
+        filled = self._buf[: self._fill, self._cols[name]]
+        return filled[:, 0] if name in self._scalar else filled
 
     def __len__(self):
-        return self._index
+        return self._fill
 
     def __repr__(self):
-        return f'Chain(params: {self._names}, size: {self._index})'
+        names = ', '.join(self._names)
+        return f'Chain[{names}] ({self._fill}/{self.size} draws)'

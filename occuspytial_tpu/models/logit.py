@@ -68,9 +68,13 @@ class LogitICARGibbs(GibbsBase):
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
         lattice=None, blocked=True, cg_impl=None, asis=True,
-        asis_sd=1.2, asis_steps=12,
+        asis_sd=1.2, asis_steps=12, solver_check_tol=2e-2,
     ):
         self.blocked = bool(blocked)
+        self.solver_check_tol = (
+            None if solver_check_tol is None else float(solver_check_tol)
+        )
+        self._solver_checked = False
         self.asis = bool(asis)
         self.asis_sd = float(asis_sd)
         self.asis_steps = int(asis_steps)
@@ -295,6 +299,43 @@ class LogitICARGibbs(GibbsBase):
         resid = tau * qsol + omega * sol - rhs
         rel = jnp.linalg.norm(resid, axis=1) / jnp.linalg.norm(rhs, axis=1)
         return float(jnp.max(rel))
+
+    def init_carry(self, chains=2, start=None):
+        carry = super().init_carry(chains, start)
+        self._check_solver_accuracy(carry)
+        return carry
+
+    def _check_solver_accuracy(self, carry):
+        """In-run guardrail for the fixed-budget iterative solvers.
+
+        The reference raises when its MINRES eta solve fails to converge
+        (reference gibbs/logit.py:91-92); the rebuild's CG/stencil paths
+        run a *fixed* iteration budget inside the compiled scan, so a
+        mis-budgeted ``cg_iters`` at a new problem size would silently
+        bias the posterior instead. This runs :meth:`solver_residual`
+        once per sampler instance when the first carry is built and
+        raises above ``solver_check_tol`` (set it to None to skip, e.g.
+        for deliberate low-accuracy experiments).
+        """
+        if (
+            self.solver not in ('cg', 'stencil')
+            or self.solver_check_tol is None
+            or self._solver_checked
+            # subclasses that override the eta conditional (RSR: dense
+            # q-dim draw) never route through _lambda_solve
+            or type(self)._update_eta is not LogitICARGibbs._update_eta
+        ):
+            return
+        self._solver_checked = True
+        resid = self.solver_residual(carry)
+        if resid > self.solver_check_tol:
+            raise RuntimeError(
+                f'eta solver ({self.solver!r}, cg_iters={self.cg_iters}) '
+                f'did not converge: cold-start relative residual '
+                f'{resid:.2e} exceeds solver_check_tol='
+                f'{self.solver_check_tol:.0e}. Increase cg_iters (or '
+                f'pass solver_check_tol=None to bypass this check).'
+            )
 
     def _update_beta_eta_blocked(self, key, state, omega_b, tau, fixed):
         """Collapsed beta draw + conditional eta draw (rebuild addition).
@@ -588,8 +629,12 @@ class LogitICARGibbs(GibbsBase):
             s = self._asis_tau(keys[4], s, omega_b, fixed)
 
         s['alpha'] = self._update_alpha(keys[5], s, omega_a, fixed)
+        # condition z on s['spatial'], not the pre-ASIS local: the ASIS
+        # move rescales (tau, eta, spatial) jointly, and drawing z against
+        # the stale field would break exact invariance of the composed
+        # kernel
         s['z'], s['k'] = self._update_z(
-            keys[6], s, s['alpha'], s['beta'], spatial, fixed
+            keys[6], s, s['alpha'], s['beta'], s['spatial'], fixed
         )
         return s
 
@@ -604,16 +649,18 @@ class LogitRSRGibbs(LogitICARGibbs):
 
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None, r=0.5, q=None,
-        dtype=jnp.float32, pg_method=None,
+        dtype=jnp.float32, pg_method=None, **kwargs,
     ):
         # pg_method=None auto-selects like the ICAR sampler (fused Pallas
         # kernel on TPU): the PG rejection rounds dominate the RSR step,
-        # so this is exactly the config where the fused kernel matters
+        # so this is exactly the config where the fused kernel matters.
+        # Remaining keyword options (asis, asis_sd, asis_steps, ...) pass
+        # straight through to LogitICARGibbs.
         self._rsr_r = r
         self._rsr_q = q
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
-            pg_method=pg_method,
+            pg_method=pg_method, **kwargs,
         )
 
     def _static_config(self):

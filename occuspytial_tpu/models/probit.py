@@ -381,13 +381,15 @@ class ProbitRSRGibbs(_ProbitBase):
 
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None, r=0.5, q=None,
-        dtype=jnp.float32, collapsed=True,
+        dtype=jnp.float32, collapsed=True, **kwargs,
     ):
+        # remaining keyword options (px, px_sd, asis, asis_sd,
+        # asis_steps) pass straight through to _ProbitBase
         self._rsr_r = r
         self._rsr_q = q
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
-            collapsed=collapsed,
+            collapsed=collapsed, **kwargs,
         )
 
     def _static_config(self):

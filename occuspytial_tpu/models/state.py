@@ -5,35 +5,56 @@ The TPU samplers carry their hot-loop state as plain dict pytrees (they
 must be jax-transformable), so these classes are *user-facing*
 conveniences: ``State`` wraps a sampler state for attribute access and
 ``FixedState`` is the write-once variant the reference uses for
-configuration containers (reference gibbs/state.py:16-27).
+configuration containers (behavior contract: reference gibbs/state.py,
+rewritten here over an explicit dict rather than SimpleNamespace).
 """
 
-from types import SimpleNamespace
 
+class BaseStorage:
+    """Dict-backed namespace: attributes and items address one store."""
 
-class BaseStorage(SimpleNamespace):
-    """Attribute namespace with dict-style item access."""
+    def __init__(self, **entries):
+        object.__setattr__(self, '_entries', dict(entries))
 
-    def __getitem__(self, key):
-        return self.__dict__[key]
+    def __getattr__(self, name):
+        try:
+            return self._entries[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __setattr__(self, name, value):
+        self._entries[name] = value
+
+    def __getitem__(self, name):
+        return self._entries[name]
+
+    def __repr__(self):
+        body = ', '.join(f'{k}={v!r}' for k, v in self._entries.items())
+        return f'{type(self).__name__}({body})'
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self) and other._entries == self._entries
+        )
 
 
 class State(BaseStorage):
-    """Store parameter variables so they can be accessed as attributes."""
+    """Mutable parameter namespace; iterates over parameter names."""
 
     def __iter__(self):
-        yield from self.__dict__
+        return iter(self._entries)
 
     def as_dict(self):
-        """The underlying pytree-compatible dict."""
-        return dict(self.__dict__)
+        """The underlying pytree-compatible dict (a copy)."""
+        return dict(self._entries)
 
 
 class FixedState(BaseStorage):
-    """Write-once storage: reassigning an attribute raises KeyError
-    (reference gibbs/state.py:24-27)."""
+    """Write-once storage for quantities that stay constant during
+    sampling; rebinding a name raises ``KeyError`` (the reference's
+    contract for its configuration containers)."""
 
     def __setattr__(self, name, value):
-        if name in self.__dict__:
+        if name in self._entries:
             raise KeyError('cannot change attributes already set')
         super().__setattr__(name, value)

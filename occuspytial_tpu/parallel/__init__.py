@@ -36,6 +36,90 @@ def shard_chains(tree, mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
+#: fixed-model arrays whose leading axis is the site axis (or the
+#: lattice-row axis, which the 1-D site order subdivides contiguously)
+_SITE_FIXED = ('X', 'obs', 'surveyed', 'lat_deg')
+#: state entries laid out (chains, n_sites)
+_SITE_STATE = ('z', 'k', 'eta', 'spatial', 'eps', 'omega_b')
+
+
+def shard_sampler_2d(sampler, carry, mesh):
+    """Shard a sampler + carry over a 2-D ('chains', 'sites') mesh.
+
+    The sites axis is this domain's tensor-parallel analog (SURVEY.md §5:
+    the latent-field dimension is the scaling axis). Rather than hand-
+    writing a distributed Gibbs step, the *same* compiled
+    ``scan(vmap(step))`` program is partitioned by GSPMD: site-indexed
+    model arrays (design matrix, lattice degree grid, site masks) are
+    laid out over ``'sites'``, per-chain state over ``'chains'`` with its
+    site dimension over ``'sites'``, and XLA inserts the halo exchanges /
+    psum reductions the stencil matvecs and X'.. contractions need.
+    Returns the sharded carry; ``sampler.fixed`` is re-laid in place.
+
+    Requires a lattice/stencil-style sampler whose site count divides the
+    ``'sites'`` mesh extent (contiguous row bands).
+    """
+    n = sampler.n
+    rows = getattr(getattr(sampler, 'lattice', None), 'rows', None)
+    n_site_shards = mesh.shape['sites']
+    if n % n_site_shards or (rows is not None and rows % n_site_shards):
+        raise ValueError(
+            f'site count {n} (lattice rows {rows}) must divide the '
+            f"'sites' mesh extent {n_site_shards}"
+        )
+
+    def put(leaf, spec):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    fixed = {}
+    for name, leaf in sampler.fixed.items():
+        if name in _SITE_FIXED and np.ndim(leaf) >= 1:
+            spec = P('sites', *([None] * (np.ndim(leaf) - 1)))
+        else:
+            spec = P()
+        fixed[name] = put(leaf, spec)
+    sampler.fixed = fixed
+
+    keys, states = carry
+    keys = put(keys, P('chains'))
+    out_states = {}
+    for name, leaf in states.items():
+        if name in _SITE_STATE and leaf.ndim >= 2 and leaf.shape[-1] == n:
+            spec = P('chains', *([None] * (leaf.ndim - 2)), 'sites')
+        elif name == 'eta_warm':
+            spec = P('chains', None, 'sites')
+        else:
+            spec = P('chains', *([None] * (leaf.ndim - 1)))
+        out_states[name] = put(leaf, spec)
+    return keys, out_states
+
+
+def sample_parallel_2d(
+    sampler, size, mesh, burnin=0, start=None, chains=None,
+    progressbar=False,
+):
+    """Full-sampler SPMD run over a 2-D ('chains', 'sites') mesh.
+
+    Chains are data-parallel; each chain's site-dimensioned state and the
+    site-indexed model arrays are additionally sharded over ``'sites'``
+    (see :func:`shard_sampler_2d`). Draws match the unsharded sampler up
+    to partitioned-reduction rounding.
+    """
+    if chains is None:
+        chains = mesh.shape['chains']
+    if chains % mesh.shape['chains']:
+        raise ValueError(
+            f"chains ({chains}) must be a multiple of the 'chains' mesh "
+            f"extent ({mesh.shape['chains']})"
+        )
+    carry = sampler.init_carry(chains, start)
+    carry = shard_sampler_2d(sampler, carry, mesh)
+    return sampler.sample(
+        size, burnin=burnin, chains=chains, progressbar=progressbar,
+        resume_from=carry,
+    )
+
+
 def sample_parallel(
     sampler, size, burnin=0, start=None, chains=None, mesh=None,
     progressbar=False,

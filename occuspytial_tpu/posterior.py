@@ -180,6 +180,25 @@ class PosteriorParameter:
         fig.tight_layout()
         return axes
 
+    def to_inference_data(self):
+        """Bridge into the arviz ecosystem (reference posterior.py:52-61).
+
+        Returns an ``arviz.InferenceData`` whose ``posterior`` group holds
+        the same (chain, draw[, dim]) arrays as :attr:`data`. Lazy and
+        optional: arviz is not a dependency of this package — the import
+        happens here, and a clear ``ImportError`` is raised when it is
+        absent (the built-in ``.summary``/``plot_*`` need no arviz).
+        """
+        try:
+            import arviz as az
+        except ImportError as exc:  # pragma: no cover - env dependent
+            raise ImportError(
+                'to_inference_data() requires the optional arviz package '
+                "(pip install arviz); the built-in .summary and plot_* "
+                'methods work without it'
+            ) from exc
+        return az.convert_to_inference_data(self._samples)
+
     def __getitem__(self, name):
         return self._samples[name]
 

@@ -48,3 +48,76 @@ def test_submesh(sampler):
     mesh = chain_mesh(n_devices=4)
     post = sample_parallel(sampler, size=4, chains=4, mesh=mesh)
     assert post['alpha'].shape == (4, 4, 2)
+
+
+def _lattice_dataset(rows, cols, ns, seed):
+    """Survey data on an explicit (rows x cols) lattice (the stencil
+    sampler needs the declared lattice to match Q)."""
+    from occuspytial_tpu.utils import get_generator, rand_precision_mat
+
+    n = rows * cols
+    rng = get_generator(seed)
+    q_mat = rand_precision_mat(rows, cols).astype(float)
+    x = rng.uniform(-2, 2, (n, 3))
+    x[:, 0] = 1
+    beta = rng.standard_normal(3)
+    alpha = rng.standard_normal(2)
+    z = rng.binomial(1, 1 / (1 + np.exp(-(x @ beta))))
+    w, yy = {}, {}
+    for s in rng.choice(n, ns, replace=False):
+        v = rng.integers(2, 5, endpoint=True)
+        w_s = rng.uniform(-2, 2, (v, 2))
+        w_s[:, 0] = 1
+        d = 1 / (1 + np.exp(-(w_s @ alpha)))
+        w[int(s)] = w_s
+        yy[int(s)] = rng.binomial(1, z[s] * d)
+    return q_mat, w, x, yy
+
+
+class TestSiteSharded2D:
+    """Full stencil sampler under a 2-D (chains x sites) mesh
+    (VERDICT r1 #5: exercise the site-sharded path inside a real
+    sampler, not just the standalone CG)."""
+
+    @pytest.fixture(scope='class')
+    def lattice_model(self):
+        from occuspytial_tpu import LogitICARGibbs
+
+        q_mat, w, x, yy = _lattice_dataset(16, 10, ns=80, seed=4)
+        make = lambda: LogitICARGibbs(  # noqa: E731
+            q_mat, w, x, yy, random_state=4, lattice=(16, 10, 8),
+        )
+        return make
+
+    def test_2d_mesh_matches_unsharded(self, lattice_model):
+        from jax.sharding import Mesh
+        from occuspytial_tpu.parallel import sample_parallel_2d
+
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(4, 2),
+            axis_names=('chains', 'sites'),
+        )
+        sharded = sample_parallel_2d(lattice_model(), 6, mesh, chains=4)
+        local = lattice_model().sample(6, chains=4, progressbar=False)
+        # same program, partitioned: draws agree up to partitioned-
+        # reduction rounding
+        np.testing.assert_allclose(
+            sharded['alpha'], local['alpha'], rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            sharded['beta'], local['beta'], rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            sharded['tau'], local['tau'], rtol=2e-3
+        )
+
+    def test_site_extent_must_divide(self, lattice_model):
+        from jax.sharding import Mesh
+        from occuspytial_tpu.parallel import sample_parallel_2d
+
+        mesh = Mesh(
+            np.asarray(jax.devices()[:6]).reshape(2, 3),
+            axis_names=('chains', 'sites'),
+        )
+        with pytest.raises(ValueError, match='must divide'):
+            sample_parallel_2d(lattice_model(), 2, mesh, chains=2)

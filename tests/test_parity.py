@@ -87,6 +87,47 @@ def test_logit_rsr_posterior_means_match_floor(dataset):
 
 
 @pytest.mark.slow
+def test_float64_lane_bounds_f32_bias():
+    """End-to-end float64 run vs float32 on a headline-sized model
+    (VERDICT r1 #6): bounds the bias of the f32 hot path and its spot
+    clamps (quad-form clamp models/logit.py, saturating ndtri clamp
+    ops/truncnorm.py) at n=1000. The two lanes use different RNG bit
+    consumption, so agreement is a per-parameter z-test on posterior
+    means, not a bitwise check."""
+    from jax import enable_x64
+
+    Qb, Wb, Xb, yb = make_data(
+        n=1000, ns=500, p=3, q=3, min_v=2, max_v=10, random_state=7
+    )[:4]
+    size, burnin, chains = 700, 250, 2
+
+    with enable_x64():
+        s64 = LogitICARGibbs(
+            Qb, Wb, Xb, yb, random_state=4, dtype='float64',
+        )
+        post64 = s64.sample(
+            size, burnin=burnin, chains=chains, progressbar=False
+        )
+        assert post64['beta'].dtype == np.float64
+    s32 = LogitICARGibbs(Qb, Wb, Xb, yb, random_state=4)
+    post32 = s32.sample(
+        size, burnin=burnin, chains=chains, progressbar=False
+    )
+
+    for name, dim in (('alpha', 3), ('beta', 3), ('tau', 0)):
+        for j in range(max(dim, 1)):
+            a = (post64[name][:, :, j] if dim else post64[name])
+            b = (post32[name][:, :, j] if dim else post32[name])
+            m1, se1 = _mean_and_mcse(np.asarray(a, np.float64))
+            m2, se2 = _mean_and_mcse(np.asarray(b, np.float64))
+            tol = Z_TOL * np.sqrt(se1**2 + se2**2)
+            assert abs(m1 - m2) < max(tol, 0.05 * max(1.0, abs(m1))), (
+                f'{name}[{j}]: f64 {m1:.4f} vs f32 {m2:.4f} '
+                f'(tol {tol:.4f})'
+            )
+
+
+@pytest.mark.slow
 def test_probit_rsr_posterior_means_match_floor(dataset):
     """Probit parity vs the reference algorithm's floor.
 

@@ -57,3 +57,41 @@ def test_from_chains():
     assert post['alpha'].shape == (2, 5, 2)
     assert post['tau'].shape == (2, 5)
     assert post['alpha'][1, 3, 0] == 1
+
+
+def test_to_inference_data_bridge(post, monkeypatch):
+    """The lazy arviz bridge delegates to convert_to_inference_data with
+    the raw sample dict (arviz is absent from this image, so a stub
+    module stands in — the reference's own posterior test mocks arviz
+    the same way)."""
+    import sys
+    import types
+
+    captured = {}
+    stub = types.ModuleType('arviz')
+
+    def convert(obj):
+        captured['arg'] = obj
+        return 'IDATA'
+
+    stub.convert_to_inference_data = convert
+    monkeypatch.setitem(sys.modules, 'arviz', stub)
+    assert post.to_inference_data() == 'IDATA'
+    assert captured['arg'] is post.data
+
+
+def test_to_inference_data_without_arviz(post, monkeypatch):
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, 'arviz', raising=False)
+    real_import = builtins.__import__
+
+    def no_arviz(name, *args, **kwargs):
+        if name == 'arviz':
+            raise ImportError('No module named arviz')
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, '__import__', no_arviz)
+    with pytest.raises(ImportError, match='requires the optional arviz'):
+        post.to_inference_data()

@@ -95,12 +95,12 @@ class TestMakeData:
     @pytest.mark.parametrize(
         'kwargs,message',
         [
-            ({'n': 149}, 'n cant be lower than'),
-            ({'min_v': 0}, 'min_v needs to be at least'),
-            ({'n': 150, 'max_v': 1}, 'max_v is too small'),
-            ({'n': 150, 'max_v': 151}, 'max_v cant be more than n'),
-            ({'ns': 0}, 'ns should be positive'),
-            ({'n': 150, 'ns': 151}, 'ns cant be more than n'),
+            ({'n': 149}, 'need n >= 150'),
+            ({'min_v': 0}, 'need min_v >= 1'),
+            ({'n': 150, 'max_v': 1}, 'need max_v >= 2'),
+            ({'n': 150, 'max_v': 151}, 'need max_v <= n'),
+            ({'ns': 0}, 'positive number of surveyed sites'),
+            ({'n': 150, 'ns': 151}, 'need ns <= n'),
         ],
         ids=['n-too-small', 'min_v-zero', 'max_v-small', 'max_v-large',
              'ns-zero', 'ns-large'],
