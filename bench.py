@@ -481,6 +481,10 @@ def main():
                 stale = json.load(fh)
             if stale.get('ess_per_sec', 0.0) <= 0.0:
                 raise ValueError('last_good holds no real measurement')
+            if stale.get('metric') != METRIC_TAG:
+                raise ValueError(
+                    'last_good was measured under a different metric'
+                )
             head = dict(stale, stale=True)
             detail['4_logit_icar_1000site_64chains'] = head
             log('headline: using last-good (stale) measurement')
@@ -510,7 +514,7 @@ def main():
     if (head.get('ess_per_sec', 0.0) > 0.0 and 'error' not in head
             and not head.get('stale')):
         with open(DETAIL + '.last_good', 'w') as fh:
-            json.dump(head, fh, indent=1)
+            json.dump(dict(head, metric=METRIC_TAG), fh, indent=1)
 
     # ---- detail configs, budget-gated --------------------------------- #
     for slot, which in (

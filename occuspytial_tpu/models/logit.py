@@ -68,7 +68,7 @@ class LogitICARGibbs(GibbsBase):
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
         lattice=None, blocked=True, cg_impl=None, asis=True,
-        asis_sd=1.2, asis_steps=12, solver_check_tol=2e-2,
+        asis_sd=1.2, asis_steps=12, solver_check_tol=0.2,
     ):
         self.blocked = bool(blocked)
         self.solver_check_tol = (
@@ -316,6 +316,12 @@ class LogitICARGibbs(GibbsBase):
         once per sampler instance when the first carry is built and
         raises above ``solver_check_tol`` (set it to None to skip, e.g.
         for deliberate low-accuracy experiments).
+
+        Threshold calibration (measured, n=1000 headline): a converged
+        spectral CG reports ~5e-4 cold on CPU and ~4e-2 on TPU (the
+        one-pass-bf16 matmul floor); a starved budget (cg_iters=1)
+        reports ~1. The default 0.2 sits an order of magnitude from
+        both sides.
         """
         if (
             self.solver not in ('cg', 'stencil')
