@@ -1,7 +1,7 @@
 # Local equivalents of the CI pipeline (.github/workflows/ci.yml); this
 # image has no network, so `make check` is the runnable record.
 
-.PHONY: check lint test tpu-check bench
+.PHONY: check lint test tpu-check bench wheels
 
 lint:
 	python scripts/lint.py
@@ -17,3 +17,7 @@ tpu-check:
 
 bench:
 	python bench.py
+
+# binary wheels (requires network + cibuildwheel; see the script header)
+wheels:
+	bash scripts/build_wheels.sh

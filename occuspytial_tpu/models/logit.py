@@ -301,6 +301,8 @@ class LogitICARGibbs(GibbsBase):
         return float(jnp.max(rel))
 
     def init_carry(self, chains=2, start=None):
+        """Build the resumable carry, then run the one-time solver
+        accuracy check (see :meth:`_check_solver_accuracy`)."""
         carry = super().init_carry(chains, start)
         self._check_solver_accuracy(carry)
         return carry
