@@ -37,6 +37,7 @@ from ..ops.polyagamma import pg_devroye, pg_gamma
 from ..ops.stencil import LatticeSpec
 from ..ops import stencil
 from .base import GibbsBase
+from .interweave import log_tau_move
 
 #: below this site count the dense Cholesky eta draw wins; above it the
 #: warm-started CG draw does (batched matmuls on the MXU instead of the
@@ -68,8 +69,12 @@ class LogitICARGibbs(GibbsBase):
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
         lattice=None, blocked=True, cg_impl=None, asis=True,
-        asis_sd=1.2, asis_steps=12, solver_check_tol=0.2,
+        asis_sd=1.2, asis_steps=12, asis_method='mh',
+        solver_check_tol=0.2,
     ):
+        if asis_method not in ('mh', 'slice'):
+            raise ValueError(f'unknown asis_method: {asis_method!r}')
+        self.asis_method = asis_method
         self.blocked = bool(blocked)
         self.solver_check_tol = (
             None if solver_check_tol is None else float(solver_check_tol)
@@ -142,6 +147,7 @@ class LogitICARGibbs(GibbsBase):
             ('asis', self.asis),
             ('asis_sd', self.asis_sd),
             ('asis_steps', self.asis_steps),
+            ('asis_method', self.asis_method),
         )
 
     def _configure(self, Q, x_np, hparams):
@@ -450,12 +456,17 @@ class LogitICARGibbs(GibbsBase):
         lifts beta[0] ESS 28x and tau ESS 69x at unchanged it/s, with
         posterior means z-test-identical to the plain kernel.
 
-        ``asis_steps`` MH sub-steps run per iteration (the move is a
-        handful of scalar ops, so extra steps are free next to the PG
-        kernel); measured on the headline config: 1 step -> min pooled
-        ESS 7.7k, 12 steps at sd=1.2 -> 15.5k (plateau — the next
-        slowest parameter binds there). Defaults are that measured
-        optimum.
+        The 1-D move on log tau is delegated to
+        :mod:`occuspytial_tpu.models.interweave`. ``asis_method='mh'``
+        (default) composes ``asis_steps`` tuned random-walk sub-steps —
+        measured lag-1 autocorrelation ~0.005 at the defaults, i.e. an
+        effectively exact conditional draw, which is why more sub-steps
+        plateau (the residual tau autocorrelation is the cross-sweep
+        eta coupling, not this move). ``'slice'`` is an exact
+        Neal-style slice sampler: one draw per iteration, self-tuning —
+        the robust choice when the problem's tau scale is far from the
+        tuned ``asis_sd``. Either way the move is a handful of scalar
+        ops per chain, free next to the PG kernel.
         """
         tau = s['tau']
         rt = jnp.sqrt(tau)
@@ -473,24 +484,9 @@ class LogitICARGibbs(GibbsBase):
                 + a_lin * jax.lax.rsqrt(t) - c_quad / t
             )
 
-        # randomness for all sub-steps drawn as two vectors up front:
-        # per-step key splits cost ~25 scalar ops each, which dominates
-        # the (otherwise ~free) move on small single-chain models
-        k1, k2 = jax.random.split(key)
-        steps = jax.random.normal(
-            k1, (self.asis_steps,), self.dtype
-        ) * self.asis_sd
-        log_us = jnp.log(
-            jax.random.uniform(k2, (self.asis_steps,), self.dtype)
-        )
-
-        def mh(i, lt):
-            prop = lt + steps[i]
-            accept = log_us[i] < (logf(prop) - logf(lt))
-            return jnp.where(accept, prop, lt)
-
-        lt = jax.lax.fori_loop(
-            0, self.asis_steps, mh, jnp.log(tau)
+        lt = log_tau_move(
+            key, jnp.log(tau), logf, self.asis_method,
+            self.asis_sd, self.asis_steps, self.dtype,
         )
         new_t = jnp.exp(lt)
         inv_rt = jax.lax.rsqrt(new_t)

@@ -46,6 +46,7 @@ from ..ops.mvnorm import (
 )
 from ..ops.truncnorm import truncnorm_sign
 from .base import GibbsBase
+from .interweave import log_tau_move
 
 
 class _ProbitBase(GibbsBase):
@@ -70,8 +71,11 @@ class _ProbitBase(GibbsBase):
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, collapsed=True, px=True, px_sd=0.3,
-        asis=True, asis_sd=1.0, asis_steps=4,
+        asis=True, asis_sd=1.0, asis_steps=12, asis_method='mh',
     ):
+        if asis_method not in ('mh', 'slice'):
+            raise ValueError(f'unknown asis_method: {asis_method!r}')
+        self.asis_method = asis_method
         self.collapsed = bool(collapsed)
         self.px = bool(px)
         self.px_sd = float(px_sd)
@@ -93,6 +97,7 @@ class _ProbitBase(GibbsBase):
             ('asis', self.asis),
             ('asis_sd', self.asis_sd),
             ('asis_steps', self.asis_steps),
+            ('asis_method', self.asis_method),
         )
 
     def _eta_quad(self, eta, fixed):
@@ -200,21 +205,9 @@ class _ProbitBase(GibbsBase):
                 + a_lin * jax.lax.rsqrt(t) - c_quad / t
             )
 
-        k1, k2 = jax.random.split(key)
-        steps = jax.random.normal(
-            k1, (self.asis_steps,), self.dtype
-        ) * self.asis_sd
-        log_us = jnp.log(
-            jax.random.uniform(k2, (self.asis_steps,), self.dtype)
-        )
-
-        def mh(i, lt):
-            prop = lt + steps[i]
-            accept = log_us[i] < (logf(prop) - logf(lt))
-            return jnp.where(accept, prop, lt)
-
-        new_t = jnp.exp(jax.lax.fori_loop(
-            0, self.asis_steps, mh, jnp.log(tau)
+        new_t = jnp.exp(log_tau_move(
+            key, jnp.log(tau), logf, self.asis_method,
+            self.asis_sd, self.asis_steps, self.dtype,
         ))
         inv_rt = jax.lax.rsqrt(new_t)
         s['tau'] = new_t

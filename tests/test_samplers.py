@@ -259,6 +259,21 @@ def test_rsr_samplers_forward_kernel_kwargs():
     assert tuned.asis_sd == 0.7 and tuned.asis_steps == 3
 
 
+def test_asis_slice_method_runs_and_matches():
+    """asis_method='slice' smoke + short-run agreement with the mh
+    kernel (full invariance is pinned by tests/test_interweave.py and
+    the asis on/off z-test below)."""
+    s_slice = LogitICARGibbs(
+        Q, W, X, y, random_state=5, asis_method='slice',
+    )
+    d = s_slice.sample(200, burnin=50, chains=2, progressbar=False)
+    assert np.isfinite(d['tau']).all()
+    assert (np.asarray(d['tau']) > 0).all()
+
+    with pytest.raises(ValueError, match='unknown asis_method'):
+        LogitICARGibbs(Q, W, X, y, asis_method='hmc')
+
+
 def test_asis_same_posterior_logit():
     """The ASIS tau interweave must leave the posterior invariant:
     on/off runs agree on posterior means within combined MC error
