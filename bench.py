@@ -497,6 +497,8 @@ def main():
     detail['vs_baseline_headline'] = round(vs, 2)
     flush_detail()
 
+    global _LINE_PRINTED
+    _LINE_PRINTED = True
     print(json.dumps({
         'metric': (
             'aggregate ESS/sec (min over alpha+beta+tau, pooled over '
@@ -536,6 +538,11 @@ def main():
         f'({time.time() - t_start:.0f}s total)')
 
 
+#: set the moment the driver-consumable stdout line is emitted; a crash
+#: AFTER that point must stay silent on stdout, or the failure sentinel
+#: would shadow the real number for a last-line parser
+_LINE_PRINTED = False
+
 if __name__ == '__main__':
     if len(sys.argv) >= 3 and sys.argv[1] == '--config':
         run_one(sys.argv[2])
@@ -544,9 +551,10 @@ if __name__ == '__main__':
             main()
         except Exception as exc:  # last-resort: still emit one JSON line
             log(f'bench crashed: {exc!r}')
-            print(json.dumps({
-                'metric': 'aggregate ESS/sec (bench harness error)',
-                'value': 0.0,
-                'unit': 'ESS/sec',
-                'vs_baseline': 0.0,
-            }))
+            if not _LINE_PRINTED:
+                print(json.dumps({
+                    'metric': 'aggregate ESS/sec (bench harness error)',
+                    'value': 0.0,
+                    'unit': 'ESS/sec',
+                    'vs_baseline': 0.0,
+                }))
