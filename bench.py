@@ -375,6 +375,37 @@ def run_one(which):
             res['vs_floor'] = round(
                 res['ess_per_sec'] / floor['ess_per_sec'], 2
             )
+    elif which == '5g':
+        # the ARBITRARY-graph matrix-free path (ops/graph.py) on the
+        # same 10k-site problem, fed only the sparse Q (no lattice
+        # hint); like-for-like floor: the reference's sparse MINRES
+        # algorithm handles exactly this input, so config 5's floor is
+        # reused (same cache key, same algorithm family and size)
+        import scipy.sparse as sps
+
+        Q5, W5, X5, y5, *_ = make_lattice_dataset(
+            100, 100, ns=5000, seed=11, min_v=2, max_v=5,
+        )
+        from benchmarks.reference_floor import NumpyLogitICAR
+
+        floor = measure_floor_config(
+            'floor5_logit_icar_10000site',
+            lambda: NumpyLogitICAR(Q5, W5, X5, y5, random_state=11),
+            chains=2, size=400, burnin=100,
+        )
+        s = LogitICARGibbs(
+            sps.csr_matrix(Q5), W5, X5, y5, random_state=11,
+            solver='graph',
+        )
+        res = bench_config(
+            'config5g logitICAR n=10000 graph 16 chains', s, 1024, 256,
+            16,
+        )
+        if 'ess_per_sec' in res:
+            res['floor_ess_per_sec'] = floor['ess_per_sec']
+            res['vs_floor'] = round(
+                res['ess_per_sec'] / floor['ess_per_sec'], 2
+            )
     else:
         raise SystemExit(f'unknown config {which}')
     print('RESULT ' + json.dumps(res))
@@ -525,6 +556,7 @@ def main():
         ('2b_probit_rsr_100site', '2b'),
         ('3_logit_rsr_1000site', '3'),
         ('5_logit_icar_10000site_stencil', '5'),
+        ('5g_logit_icar_10000site_graph', '5g'),
     ):
         if time.time() > deadline:
             log(f'budget exhausted ({budget:.0f}s); skipping config '

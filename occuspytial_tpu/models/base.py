@@ -125,6 +125,11 @@ class GibbsBase:
         matrix-free lattice path replaces the shift-invert eigsh (slow at
         10k+ sites) with the exact equivalent for an ICAR precision:
         zero row sums."""
+        if getattr(self, 'solver', None) == 'graph':
+            # nonzero row sums = proper-CAR surplus, allowed (the
+            # stencil path's rho<1 analog); the CAR sign/shape
+            # structure itself is validated inside ops/graph.build
+            return
         if getattr(self, 'solver', None) == 'stencil':
             import scipy.sparse as sps
 

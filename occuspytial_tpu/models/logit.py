@@ -36,6 +36,7 @@ from ..ops.mvnorm import (
 from ..ops.polyagamma import pg_devroye, pg_gamma
 from ..ops.stencil import LatticeSpec
 from ..ops import stencil
+from ..ops import graph as graph_ops
 from .base import GibbsBase
 from .interweave import log_tau_move
 
@@ -43,6 +44,10 @@ from .interweave import log_tau_move
 #: warm-started CG draw does (batched matmuls on the MXU instead of the
 #: sequential batched factorization)
 _CG_AUTO_THRESHOLD = 512
+
+#: above this site count a *sparse* Q auto-selects the matrix-free graph
+#: path ('cg' would dense-eigendecompose Q at O(n^3) setup cost)
+_GRAPH_AUTO_THRESHOLD = 4096
 
 
 class LogitICARGibbs(GibbsBase):
@@ -61,8 +66,14 @@ class LogitICARGibbs(GibbsBase):
     ``solver`` selects the eta linear solver ('chol' = exact dense
     Cholesky, 'cg' = warm-started spectrally-preconditioned CG — the TPU
     analog of the reference's warm-started MINRES, gibbs/logit.py:80-92,
-    running entirely on MXU matmuls; None = automatic by problem size)
-    and ``cg_iters`` its fixed iteration budget.
+    running entirely on MXU matmuls; 'stencil' = the O(n) matrix-free
+    lattice path; 'graph' = the matrix-free path for ARBITRARY sparse
+    adjacency graphs — padded neighbor-list gathers with a deflated-
+    Jacobi preconditioner (ops/graph.py), covering the irregular
+    county/region graphs the reference's sparse MINRES handles; None =
+    automatic by problem size and sparsity) and ``cg_iters`` its fixed
+    iteration budget. ``graph_rank`` sets the deflation basis size for
+    ``solver='graph'`` (bottom eigenmodes of Q, one-time host Lanczos).
     """
 
     def __init__(
@@ -70,7 +81,7 @@ class LogitICARGibbs(GibbsBase):
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
         lattice=None, blocked=True, cg_impl=None, asis=True,
         asis_sd=1.2, asis_steps=12, asis_method='mh',
-        solver_check_tol=0.2,
+        solver_check_tol=0.2, graph_rank=64,
     ):
         if asis_method not in ('mh', 'slice'):
             raise ValueError(f'unknown asis_method: {asis_method!r}')
@@ -105,7 +116,7 @@ class LogitICARGibbs(GibbsBase):
             'devroye', 'gamma', 'pallas', 'pallas_packed'
         ):
             raise ValueError(f'unknown PG sampling method: {pg_method!r}')
-        if solver not in (None, 'chol', 'cg', 'stencil'):
+        if solver not in (None, 'chol', 'cg', 'stencil', 'graph'):
             raise ValueError(f'unknown eta solver: {solver!r}')
         self.pg_method = pg_method
         self.lattice = None
@@ -121,16 +132,28 @@ class LogitICARGibbs(GibbsBase):
                 "solver='stencil' requires the `lattice` argument"
             )
         n_sites = np.asarray(X).shape[0]
-        self.solver = solver or (
-            'cg' if n_sites >= _CG_AUTO_THRESHOLD else 'chol'
-        )
+        self.graph_rank = int(graph_rank)
+        self.graph = None
+        if solver is None:
+            import scipy.sparse as sps
+
+            if sps.issparse(Q) and n_sites >= _GRAPH_AUTO_THRESHOLD:
+                # a dense eigendecomposition of Q (the 'cg' setup cost)
+                # stops being a sane default here; the matrix-free
+                # graph path needs only a one-time sparse Lanczos
+                solver = 'graph'
+            else:
+                solver = 'cg' if n_sites >= _CG_AUTO_THRESHOLD else 'chol'
+        self.solver = solver
         if cg_iters is None:
-            # 15 covers both paths with margin: the spectral and DCT
-            # preconditioners are near-exact (measured stationary-state
-            # residual 2.4e-6 at 12 iterations on the 10k-site lattice)
-            cg_iters = 15
+            # 15 covers the spectral/DCT-preconditioned paths with
+            # margin (measured stationary-state residual 2.4e-6 at 12
+            # iterations on the 10k-site lattice); the graph path's
+            # deflated-Jacobi preconditioner is weaker — 32 measures
+            # ~1e-4 cold at 10k sites (ops/graph.py calibration)
+            cg_iters = 32 if self.solver == 'graph' else 15
         self.cg_iters = int(cg_iters)
-        self._needs_dense_q = self.solver != 'stencil'
+        self._needs_dense_q = self.solver not in ('stencil', 'graph')
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
         )
@@ -142,6 +165,7 @@ class LogitICARGibbs(GibbsBase):
             ('cg_iters', self.cg_iters),
             ('cg_impl', self.cg_impl),
             ('lattice', self.lattice),
+            ('graph', self.graph),
             ('_needs_dense_q', self._needs_dense_q),
             ('blocked', self.blocked),
             ('asis', self.asis),
@@ -181,6 +205,22 @@ class LogitICARGibbs(GibbsBase):
                 )
             self.fixed.update(stencil.setup(spec))
             return
+        if self.solver == 'graph':
+            # one-time host-side flatten of the sparse precision into
+            # static-shape neighbor panels + deflation basis — the TPU
+            # analog of the reference's sparse MINRES setup
+            # (gibbs/logit.py:80-92); structural validation (symmetry,
+            # CAR sign pattern, diagonal dominance) happens inside build
+            self.graph, arrays = graph_ops.build(
+                Q, deflate=self.graph_rank
+            )
+            if self.graph.n != self.n:
+                raise ValueError(
+                    f'Q is {self.graph.n}x{self.graph.n} but X has '
+                    f'{self.n} sites'
+                )
+            self.fixed.update(arrays)
+            return
         # one-time dense eigendecomposition of the singular ICAR precision
         # (reference gibbs/logit.py:64-67); also powers the spectral CG
         # preconditioner when solver='cg'
@@ -205,7 +245,7 @@ class LogitICARGibbs(GibbsBase):
 
     def _init_state(self, key, fixed):
         state = self._init_common(key, fixed)
-        if self.solver in ('cg', 'stencil'):
+        if self.solver in ('cg', 'stencil', 'graph'):
             # CG warm-start carries: solutions of Lambda^{-1} against the
             # per-iteration right-hand sides ([y, 1] unblocked;
             # [Omega X cols, k, 1, y] blocked)
@@ -227,6 +267,11 @@ class LogitICARGibbs(GibbsBase):
         if self.solver == 'stencil':
             sol = stencil.cg_solve(
                 self.lattice, fixed, rhs, warm, omega, tau, self.cg_iters
+            )
+            return sol, sol
+        if self.solver == 'graph':
+            sol = graph_ops.cg_solve(
+                self.graph, fixed, rhs, warm, omega, tau, self.cg_iters
             )
             return sol, sol
         if self.solver == 'cg':
@@ -254,6 +299,10 @@ class LogitICARGibbs(GibbsBase):
         if self.solver == 'stencil':
             return jnp.sqrt(tau) * stencil.noise(
                 self.lattice, fixed['lat_deg'], key, self.dtype
+            )
+        if self.solver == 'graph':
+            return jnp.sqrt(tau) * graph_ops.noise(
+                self.graph, fixed, key, self.dtype
             )
         sf = fixed['sqrt_factor']
         eps = jax.random.normal(key, (sf.shape[1],), self.dtype)
@@ -297,6 +346,9 @@ class LogitICARGibbs(GibbsBase):
             qsol = jax.vmap(
                 lambda v: stencil.matvec(self.lattice, fixed['lat_deg'], v)
             )(sol)
+        elif self.solver == 'graph':
+            # gather-based matvec: exact f32, no precision caveat
+            qsol = graph_ops.matvec(fixed, sol)
         else:
             # full-precision evaluation: the default one-pass-bf16 TPU
             # matmul cannot measure a small residual through the exact
@@ -332,7 +384,7 @@ class LogitICARGibbs(GibbsBase):
         both sides.
         """
         if (
-            self.solver not in ('cg', 'stencil')
+            self.solver not in ('cg', 'stencil', 'graph')
             or self.solver_check_tol is None
             or self._solver_checked
             # subclasses that override the eta conditional (RSR: dense
@@ -502,6 +554,8 @@ class LogitICARGibbs(GibbsBase):
         (reference gibbs/logit.py:206-209)."""
         if self.solver == 'stencil':
             quad = stencil.quad_form(self.lattice, fixed['lat_deg'], eta)
+        elif self.solver == 'graph':
+            quad = graph_ops.quad_form(fixed, eta)
         else:
             quad = eta @ (fixed['Q'] @ eta)
         # clamp: f32 cancellation can push the PSD quad form slightly
@@ -517,6 +571,12 @@ class LogitICARGibbs(GibbsBase):
         if self.solver == 'stencil':
             eta, warm = stencil.constrained_mvnorm(
                 self.lattice, fixed, key, b, omega_b, tau,
+                state['eta_warm'], self.cg_iters,
+            )
+            state['eta_warm'] = warm
+        elif self.solver == 'graph':
+            eta, warm = graph_ops.constrained_mvnorm(
+                self.graph, fixed, key, b, omega_b, tau,
                 state['eta_warm'], self.cg_iters,
             )
             state['eta_warm'] = warm

@@ -57,6 +57,15 @@ print(f'eta solver max rel residual at n=1000: chol {r_chol:.2e}, '
       f'cg(bf16 matvec) {r_cg:.2e}')
 assert r_chol < 1e-2, r_chol
 assert r_cg < 2.0, r_cg
+
+# arbitrary-graph solver lane: exact-f32 gather matvec, so the residual
+# tolerance is tight even on TPU (no bf16 matmul in the operator)
+import scipy.sparse as sps
+s_gr = LogitICARGibbs(sps.csr_matrix(Q), W, X, y, random_state=7,
+                      solver='graph')
+r_gr = s_gr.solver_residual(carry)
+print(f'graph solver (deflated-Jacobi CG) residual at n=1000: {r_gr:.2e}')
+assert r_gr < 1e-2, r_gr
 '''
 
 
