@@ -37,6 +37,19 @@ from ..posterior import PosteriorParameter
 _RUNNER_CACHE = {}
 
 
+def _force_completion(out):
+    """Wait until a dispatched program's outputs are actually computed.
+
+    ``jax.block_until_ready`` returns immediately on the tunneled TPU
+    runtime without waiting (its ready-event plumbing is a no-op
+    there), so anything relying on it for queue bounding or timing is
+    silently broken. A device-to-host readback of a single element is
+    the one sync primitive that works everywhere.
+    """
+    leaf = min(jax.tree.leaves(out), key=lambda a: a.size)
+    jax.device_get(leaf)
+
+
 def _config_proxy(cls, config):
     """Instance of ``cls`` carrying only the static config attributes.
 
@@ -111,6 +124,15 @@ class GibbsBase:
             )
             for k, v in self.fixed.items()
         }
+        # ... and force the host->device transfers NOW. On a tunneled
+        # TPU runtime (axon), jnp.asarray defers buffer materialization
+        # to the first program that consumes the array, which serializes
+        # a slow per-buffer upload into that program's execution —
+        # measured 42-424 s (variable) for 22 MB of graph panels folded
+        # into the first solver call, vs 8 s when pre-touched here. An
+        # eager elementwise use is the reliable way to force it; the
+        # result is discarded, the inputs stay resident.
+        jax.block_until_ready(jax.tree.map(lambda v: v + 0, self.fixed))
 
     # ------------------------------------------------------------------ #
     # configuration (host side, runs once)
@@ -391,12 +413,14 @@ class GibbsBase:
                 carry, out = run(carry[0], carry[1], self.fixed, size=ln)
                 outs.append(out)
                 if bar is not None:
-                    jax.block_until_ready(out)
+                    _force_completion(out)
                     bar.update(ln)
-                elif (i + 1) % 16 == 0:
-                    # bound the async in-flight dispatch queue (some TPU
-                    # runtimes reject new executions past a queue limit)
-                    jax.block_until_ready(out)
+                elif (i + 1) % 4 == 0:
+                    # bound the async in-flight dispatch queue: tunneled
+                    # TPU runtimes reject new executions past a queue
+                    # depth limit (observed as InvalidArgument ~17 scan
+                    # chunks deep at n=1600)
+                    _force_completion(out)
         finally:
             if bar is not None:
                 bar.close()

@@ -81,7 +81,7 @@ class LogitICARGibbs(GibbsBase):
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
         lattice=None, blocked=True, cg_impl=None, asis=True,
         asis_sd=1.2, asis_steps=12, asis_method='mh',
-        solver_check_tol=0.2, graph_rank=64,
+        solver_check_tol=0.2, graph_rank=64, graph_block='auto',
     ):
         if asis_method not in ('mh', 'slice'):
             raise ValueError(f'unknown asis_method: {asis_method!r}')
@@ -133,6 +133,7 @@ class LogitICARGibbs(GibbsBase):
             )
         n_sites = np.asarray(X).shape[0]
         self.graph_rank = int(graph_rank)
+        self.graph_block = graph_block
         self.graph = None
         if solver is None:
             import scipy.sparse as sps
@@ -212,7 +213,7 @@ class LogitICARGibbs(GibbsBase):
             # (gibbs/logit.py:80-92); structural validation (symmetry,
             # CAR sign pattern, diagonal dominance) happens inside build
             self.graph, arrays = graph_ops.build(
-                Q, deflate=self.graph_rank
+                Q, deflate=self.graph_rank, block=self.graph_block
             )
             if self.graph.n != self.n:
                 raise ValueError(
@@ -324,39 +325,64 @@ class LogitICARGibbs(GibbsBase):
         if carry is None:
             carry = self.init_carry(chains=1)
         _, states = carry
-        state = {k: v[0] for k, v in states.items()}
-        fixed = self.fixed
-        lin_b = fixed['X'] @ state['beta'] + state['spatial']
-        omega = pg_devroye(jax.random.key(0), lin_b)
-        tau = jnp.asarray(state['tau'], self.dtype)
-        k_vec = state['z'] - 0.5
-        x = fixed['X']
-        rhs = jnp.concatenate(
-            [
-                omega * x.T,
-                k_vec[None, :],
-                jnp.ones((1, self.n), self.dtype),
-            ],
-            0,
-        )
-        sol, _ = self._lambda_solve(
-            rhs, jnp.zeros_like(rhs), omega, tau, fixed
-        )
-        if self.solver == 'stencil':
-            qsol = jax.vmap(
-                lambda v: stencil.matvec(self.lattice, fixed['lat_deg'], v)
-            )(sol)
-        elif self.solver == 'graph':
-            # gather-based matvec: exact f32, no precision caveat
-            qsol = graph_ops.matvec(fixed, sol)
-        else:
-            # full-precision evaluation: the default one-pass-bf16 TPU
-            # matmul cannot measure a small residual through the exact
-            # cancellation in Q (zero row sums)
-            qsol = jnp.matmul(sol, fixed['Q'].T, precision='highest')
-        resid = tau * qsol + omega * sol - rhs
-        rel = jnp.linalg.norm(resid, axis=1) / jnp.linalg.norm(rhs, axis=1)
-        return float(jnp.max(rel))
+
+        # one jitted program with states/fixed as ARGUMENTS: tracing
+        # them eagerly would embed the operator arrays (e.g. the banded
+        # tile panels) as HLO constants, which XLA then constant-folds
+        # at enormous compile cost (measured 110s vs 9s at 10k sites)
+        # and outside the persistent compilation cache. The chain-0
+        # slicing also happens INSIDE the program: dispatching ~8 eager
+        # slice programs first left the final readback waiting on them
+        # for 20-400s (variable) on the tunneled TPU runtime.
+        def resid_fn(states, fixed):
+            state = {k: v[0] for k, v in states.items()}
+            lin_b = fixed['X'] @ state['beta'] + state['spatial']
+            omega = pg_devroye(jax.random.key(0), lin_b)
+            tau = jnp.asarray(state['tau'], self.dtype)
+            k_vec = state['z'] - 0.5
+            x = fixed['X']
+            rhs = jnp.concatenate(
+                [
+                    omega * x.T,
+                    k_vec[None, :],
+                    jnp.ones((1, self.n), self.dtype),
+                ],
+                0,
+            )
+            sol, _ = self._lambda_solve(
+                rhs, jnp.zeros_like(rhs), omega, tau, fixed
+            )
+            if self.solver == 'stencil':
+                qsol = jax.vmap(
+                    lambda v: stencil.matvec(
+                        self.lattice, fixed['lat_deg'], v
+                    )
+                )(sol)
+            elif self.solver == 'graph':
+                # gather-based matvec: exact f32, no precision caveat
+                qsol = graph_ops.matvec(fixed, sol)
+            else:
+                # full-precision evaluation: the default one-pass-bf16
+                # TPU matmul cannot measure a small residual through the
+                # exact cancellation in Q (zero row sums)
+                qsol = jnp.matmul(sol, fixed['Q'].T, precision='highest')
+            resid = tau * qsol + omega * sol - rhs
+            rel = (
+                jnp.linalg.norm(resid, axis=1)
+                / jnp.linalg.norm(rhs, axis=1)
+            )
+            return jnp.max(rel)
+
+        # AOT lower/compile/call rather than a plain jit(...)(...) call:
+        # on the tunneled TPU runtime the one-shot dispatch path for this
+        # program stalls pathologically (measured 42s->10min+, high
+        # variance) while the identical AOT-compiled executable runs in
+        # milliseconds; the scan runner is unaffected, only this one-off
+        # diagnostic program hit it
+        fixed = dict(self.fixed)
+        states = dict(states)
+        compiled = jax.jit(resid_fn).lower(states, fixed).compile()
+        return float(compiled(states, fixed))
 
     def init_carry(self, chains=2, start=None):
         """Build the resumable carry, then run the one-time solver

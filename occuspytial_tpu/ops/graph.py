@@ -24,6 +24,22 @@ neighbor lists instead of a sparse matrix type:
   apply is four thin ``(n, m)`` MXU matmuls — negligible next to the
   gathers — and cuts the required CG budget severalfold at large tau.
 
+TPU random gathers are slow (the ELL matvec measured ~15x behind the
+lattice stencil at 10k sites), so the CG inner loop gets a second,
+MXU-native operator layout when the graph admits it: ``build`` computes
+a reverse-Cuthill-McKee ordering, and if the reordered bandwidth fits a
+modest dense band it stores Q as **block-tridiagonal dense tiles** —
+``(nb, bs, bs)`` diagonal and sub-diagonal panels with ``bs`` a
+multiple of 128 covering the bandwidth.  The banded matvec is then
+three batched dense matmuls with *no gathers at all* (the off-diagonal
+terms are static block shifts), which XLA tiles straight onto the MXU;
+vmapped over chains and stacked right-hand sides it runs as a well-fed
+matmul batch.  ``cg_solve`` permutes rhs/warm-start/omega into RCM
+order once per solve (2 gathers per solve instead of one per CG
+iteration) and solves entirely in the permuted space.  The one-off
+operators (``noise``, ``quad_form``, the residual diagnostic's
+``matvec``) stay on the exact ELL/edge-list path in original ordering.
+
 The lattice stencil remains the preferred path when the graph *is* a
 lattice (its DCT preconditioner is near-exact and its shift matvec does
 no gathers); this path is for the county-adjacency / irregular-mesh
@@ -37,6 +53,12 @@ import jax
 import jax.numpy as jnp
 
 
+#: panel-size cap for the block-tridiagonal layout: 3 * nb * bs^2 * 4B
+#: of HBM for the tiles. 192 MB admits bandwidth ~900 at 16k sites;
+#: past that the ELL gather path takes over.
+_BANDED_BYTES_CAP = 192 * 1024 * 1024
+
+
 @dataclasses.dataclass(frozen=True)
 class GraphSpec:
     """Static (hashable) summary of a built graph; the array payload
@@ -47,9 +69,14 @@ class GraphSpec:
     n_edges: int
     has_surplus: bool
     deflate: int
+    #: dense-tile size of the block-tridiagonal CG operator (0 = ELL
+    #: gathers only — bandwidth too large for the panel cap)
+    block: int = 0
+    #: n padded up to a multiple of ``block`` (== n when block == 0)
+    n_pad: int = 0
 
 
-def build(Q, deflate=64, dtype=np.float32):
+def build(Q, deflate=64, dtype=np.float32, block='auto'):
     """Flatten a precision matrix into static-shape graph panels.
 
     Returns ``(spec, arrays)`` where ``arrays`` maps ``gr_*`` keys to
@@ -58,7 +85,10 @@ def build(Q, deflate=64, dtype=np.float32):
     non-positive off-diagonal entries (an (I)CAR precision / graph
     Laplacian — reference utils.py:38-103 builds exactly this form).
     ``deflate`` is the rank of the bottom-eigenbasis preconditioner
-    block (0 disables; capped at n - 2).
+    block (0 disables; capped at n - 2). ``block`` controls the
+    MXU block-tridiagonal CG layout: ``'auto'`` enables it whenever the
+    RCM (or natural) bandwidth fits the panel memory cap, ``0``
+    disables it, an int forces that tile size.
     """
     import scipy.sparse as sps
 
@@ -130,11 +160,96 @@ def build(Q, deflate=64, dtype=np.float32):
         arrays['gr_defl_vals'] = vals.astype(dtype)
         arrays['gr_defl_vecs'] = vecs.astype(dtype)
 
+    bs, n_pad = _banded_panels(q.tocsr(), arrays, block, dtype)
+
     spec = GraphSpec(
         n=n, k_max=k_max, n_edges=int(esrc.size),
-        has_surplus=has_surplus, deflate=m,
+        has_surplus=has_surplus, deflate=m, block=bs, n_pad=n_pad,
     )
     return spec, arrays
+
+
+def _banded_panels(q_csr, arrays, block, dtype):
+    """Attach the block-tridiagonal MXU layout to ``arrays`` if viable.
+
+    Orders the graph by reverse Cuthill–McKee *or* keeps the natural
+    ordering, whichever has the smaller bandwidth (a lattice assembled
+    row-major is already optimally banded; RCM roughly doubles it,
+    while an arbitrarily-numbered irregular graph drops from O(n) to
+    O(sqrt n)). Tile size is the smallest multiple of 128 covering the
+    bandwidth, so every off-diagonal entry lands in the diagonal or
+    first sub-diagonal block row.
+    """
+    import scipy.sparse as sps
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    if block == 0:
+        return 0, 0
+    n = q_csr.shape[0]
+
+    def bandwidth(qm):
+        qc = qm.tocoo()
+        return int(np.abs(qc.row - qc.col).max()) if qc.nnz else 0
+
+    perm = np.asarray(
+        reverse_cuthill_mckee(q_csr, symmetric_mode=True), np.int64
+    )
+    q_rcm = q_csr[perm][:, perm]
+    bw_nat, bw_rcm = bandwidth(q_csr), bandwidth(q_rcm)
+    if bw_nat <= bw_rcm:
+        perm, qp, bw = np.arange(n, dtype=np.int64), q_csr, bw_nat
+    else:
+        qp, bw = q_rcm, bw_rcm
+
+    if block == 'auto':
+        bs = 128 * max((bw + 127) // 128, 1)
+        nb = -(-n // bs)
+        if nb < 2 or 3 * nb * bs * bs * 4 > _BANDED_BYTES_CAP:
+            return 0, 0
+    else:
+        bs = int(block)
+        if bs % 128 or bs < bw:
+            raise ValueError(
+                f'block={bs} must be a multiple of 128 covering the '
+                f'bandwidth ({bw})'
+            )
+        nb = -(-n // bs)
+    n_pad = nb * bs
+
+    diag_p = np.zeros((nb, bs, bs), dtype)
+    sub_p = np.zeros((nb, bs, bs), dtype)
+    qp = sps.csr_matrix(qp)
+    for i in range(nb):
+        r0, r1 = i * bs, min((i + 1) * bs, n)
+        blk = qp[r0:r1, r0:r1].toarray()
+        diag_p[i, : r1 - r0, : r1 - r0] = blk
+        if i:
+            c0 = (i - 1) * bs
+            blk = qp[r0:r1, c0 : i * bs].toarray()
+            sub_p[i, : r1 - r0, :] = blk
+
+    iperm = np.empty(n, np.int64)
+    iperm[perm] = np.arange(n)
+    # super-diagonal panels stored explicitly (sup_p[i] = sub_p[i+1]'):
+    # +50% panel memory, but the matvec then needs only plain 'nij'
+    # contractions — the transposed 'nji' einsum sends the XLA TPU
+    # compiler into a pathological tiling search at small batch sizes
+    # (measured 120s vs 7s compile for the B=6 guardrail shape)
+    sup_p = np.roll(sub_p, -1, axis=0).transpose(0, 2, 1).copy()
+    arrays['gr_bd_diag'] = diag_p
+    arrays['gr_bd_sub'] = sub_p
+    arrays['gr_bd_sup'] = sup_p
+    arrays['gr_perm'] = perm.astype(np.int32)
+    arrays['gr_iperm'] = iperm.astype(np.int32)
+    # permuted+padded companions for the in-band preconditioner
+    deg_p = np.ones(n_pad, dtype)
+    deg_p[:n] = arrays['gr_deg'][perm]
+    arrays['gr_deg_p'] = deg_p
+    if 'gr_defl_vecs' in arrays:
+        vecs_p = np.zeros((n_pad, arrays['gr_defl_vecs'].shape[1]), dtype)
+        vecs_p[:n] = arrays['gr_defl_vecs'][perm]
+        arrays['gr_defl_vecs_p'] = vecs_p
+    return bs, n_pad
 
 
 def _bottom_eigs(q_csr, m):
@@ -185,20 +300,41 @@ def noise(spec, fixed, key, dtype=jnp.float32):
     return out
 
 
-def precond_apply(spec, fixed, tau, omega, r):
-    """Deflated-Jacobi preconditioner (SPD by construction).
+def banded_matvec(spec, fixed, v):
+    """``Q_perm v`` through the block-tridiagonal dense tiles.
+
+    ``v`` is (..., n_pad) in RCM-permuted order. Three batched matmuls
+    (diagonal, sub-diagonal, its transpose as the super-diagonal) with
+    static block shifts — no gathers; XLA maps the einsums onto the
+    MXU, and leading batch dims (chains x rhs rows) feed it full tiles.
+    Float32 accumulation (``Precision.HIGHEST``) keeps the CG residual
+    at the ELL path's exact-f32 level; the FLOP count is tiny.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    nb = spec.n_pad // spec.block
+    vb = v.reshape(v.shape[:-1] + (nb, spec.block))
+    zeros = jnp.zeros_like(vb[..., :1, :])
+    vm = jnp.concatenate([zeros, vb[..., :-1, :]], axis=-2)
+    vp = jnp.concatenate([vb[..., 1:, :], zeros], axis=-2)
+    y = (
+        jnp.einsum('nij,...nj->...ni', fixed['gr_bd_diag'], vb,
+                   precision=hp)
+        + jnp.einsum('nij,...nj->...ni', fixed['gr_bd_sub'], vm,
+                     precision=hp)
+        + jnp.einsum('nij,...nj->...ni', fixed['gr_bd_sup'], vp,
+                     precision=hp)
+    )
+    return y.reshape(v.shape)
+
+
+def _deflated_jacobi(jac, u, s, tau, cbar, r):
+    """Shared deflated-Jacobi apply (SPD by construction).
 
     Exact spectral treatment ``1/(tau*s_i + cbar)`` on the bottom
     eigenbasis U, symmetric Jacobi on its complement:
 
         M^{-1} = U D_s^{-1} U' + (I - UU') D_j (I - UU')
     """
-    jac = 1.0 / (tau * fixed['gr_deg'] + omega)
-    if spec.deflate == 0:
-        return r * jac
-    u = fixed['gr_defl_vecs']
-    s = fixed['gr_defl_vals']
-    cbar = jnp.mean(omega)
     ru = r @ u
     r_perp = r - ru @ u.T
     w = r_perp * jac
@@ -206,10 +342,61 @@ def precond_apply(spec, fixed, tau, omega, r):
     return w_perp + (ru / (tau * s + cbar)) @ u.T
 
 
+def precond_apply(spec, fixed, tau, omega, r):
+    """Deflated-Jacobi preconditioner in the original (ELL) ordering."""
+    jac = 1.0 / (tau * fixed['gr_deg'] + omega)
+    if spec.deflate == 0:
+        return r * jac
+    return _deflated_jacobi(
+        jac, fixed['gr_defl_vecs'], fixed['gr_defl_vals'], tau,
+        jnp.mean(omega), r,
+    )
+
+
 def cg_solve(spec, fixed, rhs, x0, omega, tau, iters):
     """Solve ``(tau*Q + diag(omega)) x = rhs`` matrix-free; rhs/x0 are
-    (rhs_count, n)."""
+    (rhs_count, n).
+
+    With a banded layout (``spec.block > 0``) the whole CG runs in the
+    RCM-permuted space on the MXU tiles: rhs, warm start and omega are
+    permuted once per *solve* (two O(n) gathers) instead of gathering
+    per CG iteration.
+    """
     from .cg import pcg
+
+    if spec.block:
+        perm, iperm = fixed['gr_perm'], fixed['gr_iperm']
+        pad = spec.n_pad - spec.n
+
+        def to_p(x, fill=0.0):
+            xp = jnp.take(x, perm, axis=-1)
+            if pad:
+                widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                xp = jnp.pad(xp, widths, constant_values=fill)
+            return xp
+
+        # padded tail: Q rows are zero, omega = 1 keeps the padded
+        # subsystem SPD with solution identically zero
+        omega_p = to_p(omega, fill=1.0)
+        jac = 1.0 / (tau * fixed['gr_deg_p'] + omega_p)
+        cbar = jnp.mean(omega)
+
+        def mv(v):
+            return tau * banded_matvec(spec, fixed, v) + omega_p * v
+
+        if spec.deflate:
+            u = fixed['gr_defl_vecs_p']
+            s = fixed['gr_defl_vals']
+
+            def pc(r):
+                return _deflated_jacobi(jac, u, s, tau, cbar, r)
+        else:
+
+            def pc(r):
+                return r * jac
+
+        sol_p = pcg(mv, pc, to_p(rhs), to_p(x0), iters)
+        return jnp.take(sol_p, iperm, axis=-1)
 
     def mv(v):
         return tau * matvec(fixed, v) + omega * v

@@ -138,6 +138,76 @@ def test_deflation_beats_plain_jacobi_at_large_tau():
     assert rel_err(64) < 1e-3
 
 
+def test_banded_layout_enabled_when_bandwidth_fits():
+    # 50x50 lattice: natural bandwidth 50 -> one 128-tile covers it
+    spec, _ = graph.build(lattice_precision(50, 50, 8), deflate=0)
+    assert spec.block == 128 and spec.n_pad % 128 == 0
+    # too few blocks for a tridiagonal structure -> ELL only
+    spec_small, _ = graph.build(delaunay_precision(120, seed=1), deflate=0)
+    assert spec_small.block == 0
+    # explicit opt-out
+    spec_off, arrs_off = graph.build(
+        lattice_precision(50, 50, 8), deflate=0, block=0
+    )
+    assert spec_off.block == 0 and 'gr_bd_diag' not in arrs_off
+
+
+def test_banded_matvec_matches_dense():
+    q = delaunay_precision(400, seed=4)
+    qd = q.toarray().astype(np.float64)
+    spec, arrs = graph.build(q, deflate=0, block=256)
+    assert spec.block == 256
+    fixed = {k: jnp.asarray(v) for k, v in arrs.items()}
+    perm = arrs['gr_perm']
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((2, spec.n))
+    v_pad = np.zeros((2, spec.n_pad), np.float32)
+    v_pad[:, : spec.n] = v[:, perm]
+    out_p = np.asarray(
+        graph.banded_matvec(spec, fixed, jnp.asarray(v_pad))
+    )
+    # un-permute and compare against the dense product
+    out = out_p[:, : spec.n][:, arrs['gr_iperm']]
+    np.testing.assert_allclose(out, v @ qd.T, atol=1e-4)
+    # the padded tail rows of Q are zero: output there must be zero
+    np.testing.assert_allclose(out_p[:, spec.n:], 0.0, atol=1e-6)
+
+
+def test_banded_forced_block_validation():
+    q = lattice_precision(50, 50, 8)
+    with pytest.raises(ValueError, match='multiple of 128'):
+        graph.build(q, block=100)
+    with pytest.raises(ValueError, match='covering the'):
+        # bandwidth of the RCM'd Delaunay graph exceeds 0 < 128? use a
+        # lattice whose natural bandwidth (50) exceeds a too-small tile
+        graph.build(lattice_precision(200, 200, 8), block=128)
+
+
+@pytest.mark.parametrize('deflate', [0, 32])
+def test_banded_cg_matches_ell_cg(deflate):
+    """The RCM-permuted block-tridiagonal CG must return the ELL CG's
+    solution (same system, same budget; they differ only in rounding)."""
+    q = delaunay_precision(500, seed=6)
+    rng = np.random.default_rng(4)
+    omega = jnp.asarray(rng.uniform(0.05, 0.3, 500), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((3, 500)), jnp.float32)
+    tau = jnp.asarray(2.3, jnp.float32)
+
+    def solve(block):
+        spec, arrs = graph.build(q, deflate=deflate, block=block)
+        fixed = {k: jnp.asarray(v) for k, v in arrs.items()}
+        return spec, np.asarray(
+            graph.cg_solve(
+                spec, fixed, rhs, jnp.zeros_like(rhs), omega, tau, 48
+            )
+        )
+
+    spec_b, sol_banded = solve(256)
+    spec_e, sol_ell = solve(0)
+    assert spec_b.block == 256 and spec_e.block == 0
+    np.testing.assert_allclose(sol_banded, sol_ell, atol=2e-4)
+
+
 def test_constrained_draw_sums_to_zero():
     q = delaunay_precision(100, seed=2)
     spec, arrs = graph.build(q, deflate=16)
