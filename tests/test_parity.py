@@ -75,6 +75,26 @@ def _assert_mean_parity(post, out_floor, floor_tol=0.05):
 
 
 @pytest.mark.slow
+def test_logit_icar_graph_banded_posterior_means_match_floor(dataset):
+    """The matrix-free graph path (block-tridiagonal MXU layout) must
+    hit the same posterior as the reference algorithm — this pins the
+    banded CG statistically, not just against the ELL CG's solution."""
+    import scipy.sparse as sps
+
+    Q, W, X, y, *_ = dataset
+
+    floor = NumpyLogitICAR(Q, W, X, y, random_state=3)
+    out_floor = floor.run(SIZE, burnin=BURNIN)
+
+    s = LogitICARGibbs(
+        sps.csr_matrix(Q), W, X, y, random_state=4, solver='graph'
+    )
+    assert s.graph.block > 0, 'banded layout should engage at n=150'
+    post = s.sample(SIZE, burnin=BURNIN, chains=CHAINS, progressbar=False)
+    _assert_mean_parity(post, out_floor)
+
+
+@pytest.mark.slow
 def test_logit_rsr_posterior_means_match_floor(dataset):
     Q, W, X, y, *_ = dataset
 
