@@ -432,10 +432,29 @@ def run_subprocess_config(which, attempts=2, best_of=1, deadline=None):
             log(f'config {which}: budget deadline reached after '
                 f'{attempt} attempt(s)')
             break
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--config', which],
-            capture_output=True, text=True, timeout=3600, cwd=HERE,
-        )
+        # per-attempt watchdog well under the driver's whole-run budget:
+        # the tunneled TPU runtime can wedge a process indefinitely (its
+        # first device sync never returns while the server session is
+        # stuck); kill the attempt and retry in a fresh process rather
+        # than letting one hung attempt consume the entire bench budget
+        attempt_timeout = 900.0
+        if deadline is not None:
+            attempt_timeout = min(
+                attempt_timeout, max(60.0, deadline - time.time())
+            )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 '--config', which],
+                capture_output=True, text=True,
+                timeout=attempt_timeout, cwd=HERE,
+            )
+        except subprocess.TimeoutExpired:
+            last = {'config': which, 'error': 'attempt timed out',
+                    'timeout_s': attempt_timeout}
+            log(f'config {which}: attempt {attempt} timed out after '
+                f'{attempt_timeout:.0f}s; retrying in a fresh process')
+            continue
         parsed = None
         for line in proc.stdout.splitlines():
             if line.startswith('RESULT '):
@@ -470,17 +489,14 @@ def main():
     budget = float(os.environ.get('BENCH_BUDGET_S', 840))
     deadline = t_start + budget
 
-    import jax
-
-    jax.config.update('jax_compilation_cache_dir',
-                      os.path.join(HERE, '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-
+    # the parent NEVER touches a jax device: initializing the tunneled
+    # TPU backend blocks indefinitely while its server session is
+    # wedged, and only the measurement subprocesses need the device —
+    # a hung subprocess is killed by its watchdog, a hung parent kills
+    # the whole bench
     from occuspytial_tpu.utils import make_data
 
-    log(f'backend: {jax.default_backend()} ({jax.devices()[0]}), '
-        f'budget {budget:.0f}s')
+    log(f'budget {budget:.0f}s (backend reported per-subprocess)')
     detail = {}
 
     def flush_detail():
