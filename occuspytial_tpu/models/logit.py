@@ -37,6 +37,7 @@ from ..ops.polyagamma import pg_devroye, pg_gamma
 from ..ops.stencil import LatticeSpec
 from ..ops import stencil
 from ..ops import graph as graph_ops
+from . import etasetup
 from .base import GibbsBase
 from .interweave import log_tau_move
 
@@ -178,48 +179,13 @@ class LogitICARGibbs(GibbsBase):
     def _configure(self, Q, x_np, hparams):
         super()._configure(Q, x_np, hparams)
         if self.solver == 'stencil':
-            # O(n) matrix-free setup; validate Q against the declared
-            # lattice with a random host-side matvec
-            spec = self.lattice
-            if spec.n != self.n:
-                raise ValueError(
-                    f'lattice {spec.rows}x{spec.cols} does not match '
-                    f'{self.n} sites'
-                )
-            rng = np.random.default_rng(0)
-            v = rng.standard_normal(self.n)
-            import scipy.sparse as sps
-
-            qv = (sps.csr_matrix(Q) @ v) if sps.issparse(Q) else (
-                np.asarray(Q) @ v
-            )
-            sv = np.asarray(
-                stencil.matvec(
-                    spec,
-                    jnp.asarray(stencil.degree_grid(spec), jnp.float32),
-                    jnp.asarray(v, jnp.float32),
-                )
-            )
-            if not np.allclose(qv, sv, atol=1e-3 * max(1.0, np.abs(qv).max())):
-                raise ValueError(
-                    'Q does not match the declared lattice structure'
-                )
-            self.fixed.update(stencil.setup(spec))
+            self.fixed.update(etasetup.setup_stencil(self.lattice, Q,
+                                                     self.n))
             return
         if self.solver == 'graph':
-            # one-time host-side flatten of the sparse precision into
-            # static-shape neighbor panels + deflation basis — the TPU
-            # analog of the reference's sparse MINRES setup
-            # (gibbs/logit.py:80-92); structural validation (symmetry,
-            # CAR sign pattern, diagonal dominance) happens inside build
-            self.graph, arrays = graph_ops.build(
-                Q, deflate=self.graph_rank, block=self.graph_block
+            self.graph, arrays = etasetup.setup_graph(
+                Q, self.n, self.graph_rank, self.graph_block
             )
-            if self.graph.n != self.n:
-                raise ValueError(
-                    f'Q is {self.graph.n}x{self.graph.n} but X has '
-                    f'{self.n} sites'
-                )
             self.fixed.update(arrays)
             return
         # one-time dense eigendecomposition of the singular ICAR precision

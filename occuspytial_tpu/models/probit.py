@@ -40,11 +40,15 @@ import numpy as np
 from jax.scipy.special import log_ndtr
 
 from ..ops import icar
+from ..ops import graph as graph_ops
+from ..ops import stencil
 from ..ops.mvnorm import (
     constrained_icar_mvnorm_unit,
     precision_mvnorm,
 )
+from ..ops.stencil import LatticeSpec
 from ..ops.truncnorm import truncnorm_sign
+from . import etasetup
 from .base import GibbsBase
 from .interweave import log_tau_move
 
@@ -483,12 +487,95 @@ class ProbitICARGibbs(_ProbitBase):
     exactly unit-variance, ``Lambda`` is diagonal in Q's eigenbasis and
     the draw is a closed-form spectral transform (no factorization or
     iterative solve; see ops/mvnorm.py:constrained_icar_mvnorm_unit).
+
+    Three eta regimes mirror the logit sampler's large-n ladder:
+    ``solver='spectral'`` (default, one-time dense eigh — fine to a few
+    thousand sites), ``'stencil'`` (O(n) lattice operators, pass
+    ``lattice=``), and ``'graph'`` (matrix-free panels for arbitrary
+    sparse adjacencies, auto-selected for sparse Q at large n). The
+    iterative regimes draw eta through the same warm-started
+    preconditioned CG as the logit path with ``omega = 1`` — the probit
+    system ``tau*Q + I`` is its best-conditioned instance. The collapsed
+    (beta, eta, eps) ladder needs the eigenbasis, so iterative solvers
+    run the reference-ordered kernel (``collapsed=False``) — PX and ASIS
+    moves still apply.
     """
+
+    def __init__(
+        self, Q, W, X, y, hparams=None, random_state=None,
+        dtype=jnp.float32, solver=None, cg_iters=None, lattice=None,
+        graph_rank=64, graph_block='auto', solver_check_tol=0.2,
+        **kwargs,
+    ):
+        from .logit import _GRAPH_AUTO_THRESHOLD
+
+        if solver not in (None, 'spectral', 'stencil', 'graph'):
+            raise ValueError(f'unknown eta solver: {solver!r}')
+        self.lattice = None
+        if lattice is not None:
+            self.lattice = (
+                lattice if isinstance(lattice, LatticeSpec)
+                else LatticeSpec(*lattice)
+            )
+            if solver is None:
+                solver = 'stencil'
+        if solver == 'stencil' and self.lattice is None:
+            raise ValueError(
+                "solver='stencil' requires the `lattice` argument"
+            )
+        if solver is None:
+            import scipy.sparse as sps
+
+            n_sites = np.asarray(X).shape[0]
+            solver = (
+                'graph'
+                if sps.issparse(Q) and n_sites >= _GRAPH_AUTO_THRESHOLD
+                else 'spectral'
+            )
+        self.solver = solver
+        self.graph_rank = int(graph_rank)
+        self.graph_block = graph_block
+        self.graph = None
+        if cg_iters is None:
+            cg_iters = 32 if solver == 'graph' else 15
+        self.cg_iters = int(cg_iters)
+        self.solver_check_tol = solver_check_tol
+        self._solver_checked = False
+        self._needs_dense_q = solver == 'spectral'
+        if solver != 'spectral':
+            if kwargs.get('collapsed'):
+                raise ValueError(
+                    'the collapsed (beta, eta, eps) ladder requires '
+                    "the spectral eta solver; use solver='spectral' "
+                    'or collapsed=False'
+                )
+            kwargs['collapsed'] = False
+        super().__init__(
+            Q, W, X, y, hparams, random_state, dtype=dtype, **kwargs
+        )
+
+    def _static_config(self):
+        return super()._static_config() + (
+            ('solver', self.solver),
+            ('cg_iters', self.cg_iters),
+            ('lattice', self.lattice),
+            ('graph', self.graph),
+            ('_needs_dense_q', self._needs_dense_q),
+        )
 
     def _configure(self, Q, x_np, hparams):
         super()._configure(Q, x_np, hparams)
         f = self.fixed
         f['XTX_plus_bprec'] = x_np.T @ x_np + f['b_prec']
+        if self.solver == 'stencil':
+            f.update(etasetup.setup_stencil(self.lattice, Q, self.n))
+            return
+        if self.solver == 'graph':
+            self.graph, arrays = etasetup.setup_graph(
+                Q, self.n, self.graph_rank, self.graph_block
+            )
+            f.update(arrays)
+            return
         s_eig, u_eig, _ = icar.icar_spectral(f['Q'])
         f['q_eigvals'] = s_eig
         f['q_eigvecs'] = u_eig
@@ -502,18 +589,125 @@ class ProbitICARGibbs(_ProbitBase):
         return g / rate
 
     def _eta_quad(self, eta, fixed):
-        return jnp.maximum(eta @ (fixed['Q'] @ eta), 0.0)
+        if self.solver == 'stencil':
+            q = stencil.quad_form(self.lattice, fixed['lat_deg'], eta)
+        elif self.solver == 'graph':
+            q = graph_ops.quad_form(fixed, eta)
+        else:
+            q = eta @ (fixed['Q'] @ eta)
+        return jnp.maximum(q, 0.0)
 
     @property
     def _eta_dim(self):
         return self.n - 1  # eta lives on the sum-to-zero subspace
 
+    def _init_state(self, key, fixed):
+        state = super()._init_state(key, fixed)
+        if self.solver in ('stencil', 'graph'):
+            # warm-start carry for the per-iteration [b, 1] CG solves
+            state['eta_warm'] = jnp.zeros((2, self.n), self.dtype)
+        return state
+
     def _update_eta(self, key, state, omega_b, tau, fixed):
         b = omega_b - fixed['X'] @ state['beta'] - state['eps']
+        if self.solver in ('stencil', 'graph'):
+            # unit observation precision: the latent-utility noise is
+            # exactly N(0, 1), so omega = 1 everywhere
+            ones = jnp.ones_like(b)
+            if self.solver == 'stencil':
+                eta, warm = stencil.constrained_mvnorm(
+                    self.lattice, fixed, key, b, ones, tau,
+                    state['eta_warm'], self.cg_iters,
+                )
+            else:
+                eta, warm = graph_ops.constrained_mvnorm(
+                    self.graph, fixed, key, b, ones, tau,
+                    state['eta_warm'], self.cg_iters,
+                )
+            # caller keeps the mutated dict: _step passes its own state
+            # dict in, so the warm start rides along the scan carry
+            state['eta_warm'] = warm
+            return eta, eta
         eta = constrained_icar_mvnorm_unit(
             key, b, tau, fixed['q_eigvecs'], fixed['q_eigvals'],
         )
         return eta, eta
+
+    # ------------- iterative-solver accuracy guardrail ---------------- #
+
+    def init_carry(self, chains=2, start=None):
+        """Build the resumable carry, then run the one-time solver
+        accuracy check (logit.py's guardrail, probit instance)."""
+        carry = super().init_carry(chains, start)
+        self._check_solver_accuracy(carry)
+        return carry
+
+    def _check_solver_accuracy(self, carry):
+        if (
+            self.solver not in ('stencil', 'graph')
+            or self.solver_check_tol is None
+            or self._solver_checked
+        ):
+            return
+        self._solver_checked = True
+        resid = self.solver_residual(carry)
+        if resid > self.solver_check_tol:
+            raise RuntimeError(
+                f'eta solver ({self.solver!r}, cg_iters='
+                f'{self.cg_iters}) did not converge: cold-start '
+                f'relative residual {resid:.2e} exceeds '
+                f'solver_check_tol={self.solver_check_tol:.0e}. '
+                'Increase cg_iters (or pass solver_check_tol=None to '
+                'bypass this check).'
+            )
+
+    def solver_residual(self, carry=None):
+        """Max relative residual of the eta solver at a representative
+        state (``(tau*Q + I) x = rhs`` over the [b, 1] right-hand
+        sides), cold-started. Same contract as the logit sampler's
+        :meth:`~LogitICARGibbs.solver_residual`."""
+        if carry is None:
+            carry = self.init_carry(chains=1)
+        _, states = carry
+
+        # single AOT-compiled program with states/fixed as arguments and
+        # the chain-0 slicing inside — see logit.solver_residual for the
+        # tunneled-runtime pathologies this sidesteps
+        def resid_fn(states, fixed):
+            state = {k: v[0] for k, v in states.items()}
+            b = (
+                state['omega_b'] - fixed['X'] @ state['beta']
+                - state['eps']
+            )
+            tau = jnp.asarray(state['tau'], self.dtype)
+            rhs = jnp.stack([b, jnp.ones_like(b)])
+            ones = jnp.ones_like(b)
+            if self.solver == 'stencil':
+                sol = stencil.cg_solve(
+                    self.lattice, fixed, rhs, jnp.zeros_like(rhs),
+                    ones, tau, self.cg_iters,
+                )
+                qsol = jax.vmap(
+                    lambda v: stencil.matvec(
+                        self.lattice, fixed['lat_deg'], v
+                    )
+                )(sol)
+            else:
+                sol = graph_ops.cg_solve(
+                    self.graph, fixed, rhs, jnp.zeros_like(rhs),
+                    ones, tau, self.cg_iters,
+                )
+                qsol = graph_ops.matvec(fixed, sol)
+            resid = tau * qsol + sol - rhs
+            return jnp.max(
+                jnp.linalg.norm(resid, axis=1)
+                / jnp.linalg.norm(rhs, axis=1)
+            )
+
+        fixed = dict(self.fixed)
+        states = dict(states)
+        compiled = jax.jit(resid_fn).lower(states, fixed).compile()
+        return float(compiled(states, fixed))
 
     # --------------- collapsed ladder (rebuild addition) --------------- #
     # Everything is diagonal in Q's eigenbasis: with eps and eta out,

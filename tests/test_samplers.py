@@ -303,3 +303,50 @@ def test_asis_same_posterior_logit():
     # tau mixing must improve, not degrade, under the interweave
     assert float(ess_bulk(np.asarray(po['tau'], np.float64))) > 0.5 * \
         float(ess_bulk(np.asarray(pf['tau'], np.float64)))
+
+
+def test_probit_icar_iterative_solver_regimes():
+    """The probit ICAR eta draw has three solver regimes (spectral /
+    stencil / graph); the iterative ones must target the same posterior
+    as the closed-form spectral draw (z-test on posterior means), trip
+    the accuracy guardrail when starved, and reject the collapsed
+    ladder (it needs the eigenbasis)."""
+    import scipy.sparse as sps
+
+    from occuspytial_tpu import ProbitICARGibbs
+    from occuspytial_tpu.diagnostics import ess_bulk
+
+    ref = ProbitICARGibbs(Q, W, X, y, random_state=5)
+    assert ref.solver == 'spectral' and ref.collapsed
+    pr = ref.sample(1500, burnin=500, chains=4, progressbar=False)
+
+    it = ProbitICARGibbs(
+        sps.csr_matrix(Q), W, X, y, random_state=6, solver='graph'
+    )
+    assert not it.collapsed and it.graph is not None
+    pi = it.sample(1500, burnin=500, chains=4, progressbar=False)
+    assert it.solver_residual() < 1e-2
+
+    for name in ('alpha', 'beta'):
+        a = np.asarray(pr[name], np.float64)
+        b = np.asarray(pi[name], np.float64)
+        for j in range(a.shape[2]):
+            ea = max(float(ess_bulk(a[:, :, j])), 4.0)
+            eb = max(float(ess_bulk(b[:, :, j])), 4.0)
+            se = np.sqrt(
+                a[:, :, j].std() ** 2 / ea + b[:, :, j].std() ** 2 / eb
+            )
+            diff = abs(a[:, :, j].mean() - b[:, :, j].mean())
+            assert diff < 6.0 * se + 0.05, (name, j, diff, se)
+
+    with pytest.raises(ValueError, match='collapsed'):
+        ProbitICARGibbs(
+            sps.csr_matrix(Q), W, X, y, solver='graph', collapsed=True
+        )
+
+    bad = ProbitICARGibbs(
+        sps.csr_matrix(Q), W, X, y, random_state=5, solver='graph',
+        cg_iters=1, graph_rank=0,
+    )
+    with pytest.raises(RuntimeError, match='did not converge'):
+        bad.init_carry(chains=1)
