@@ -723,10 +723,14 @@ class LogitRSRGibbs(LogitICARGibbs):
         return super()._static_config() + (('q_dim', self.q_dim),)
 
     def _configure(self, Q, x_np, hparams):
+        # eta lives in the reduced basis: the dense Q is never needed
+        # (K and Q_rsr = K'QK are the only spatial operators downstream),
+        # and moran_basis takes sparse Q matrix-free at large n
+        self._needs_dense_q = False
         GibbsBase._configure(self, Q, x_np, hparams)
         # Moran basis (reference gibbs/logit.py:415-460)
         k_basis, q_rsr = icar.moran_basis(
-            x_np, self.fixed['Q'], r=self._rsr_r, num_eigs=self._rsr_q
+            x_np, Q, r=self._rsr_r, num_eigs=self._rsr_q
         )
         self.q_dim = q_rsr.shape[0]
         self.fixed['K'] = k_basis

@@ -393,11 +393,15 @@ class ProbitRSRGibbs(_ProbitBase):
         return super()._static_config() + (('q_dim', self.q_dim),)
 
     def _configure(self, Q, x_np, hparams):
+        # the reduced basis is the only spatial operator downstream:
+        # skip the dense Q copy and let moran_basis go matrix-free on
+        # sparse input at large n
+        self._needs_dense_q = False
         super()._configure(Q, x_np, hparams)
         f = self.fixed
         f['XTX_plus_bprec'] = x_np.T @ x_np + f['b_prec']
         k_basis, q_rsr = icar.moran_basis(
-            x_np, f['Q'], r=self._rsr_r, num_eigs=self._rsr_q
+            x_np, Q, r=self._rsr_r, num_eigs=self._rsr_q
         )
         self.q_dim = q_rsr.shape[0]
         f['K'] = k_basis

@@ -118,6 +118,13 @@ def psd_sqrt_factor(q_dense):
     return u * np.sqrt(s)
 
 
+#: above this size a *sparse* Q routes the Moran eigenbasis through
+#: matrix-free Lanczos instead of a dense O(n^3) eigh — the reference's
+#: RSR construction (gibbs/logit.py:415-447) is dense-only and cannot
+#: reach these sizes at all
+_MORAN_LANCZOS_THRESHOLD = 2048
+
+
 def moran_basis(x, q, r=0.5, num_eigs=None):
     """Moran-operator eigenbasis for Reduced Spatial Regression.
 
@@ -126,12 +133,26 @@ def moran_basis(x, q, r=0.5, num_eigs=None):
     keeps the top-``num_eigs`` eigenvectors (or those with eigenvalue >= r
     when ``num_eigs`` is None). Mirrors reference gibbs/logit.py:415-447.
 
+    For a scipy.sparse ``q`` at large n the operator is never assembled:
+    its matvec is ``c * P(A(P v))`` — two thin projector corrections and
+    one sparse product — and the top eigenpairs come from Lanczos
+    (``eigsh(which='LA')``), making RSR usable at 10k+ sites.
+
     Returns (K, q_rsr) where K is (n, q) and q_rsr = K' Q K.
     """
+    import scipy.sparse as sps
+
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
+    if num_eigs is None and not 0 <= r <= 1:
+        raise ValueError('Threshold value needs to be in [0, 1]')
     # P = I - X (X'X)^{-1} X' via least-squares projector
     xtx_inv_xt = np.linalg.solve(x.T @ x, x.T)
+
+    if sps.issparse(q) and n >= _MORAN_LANCZOS_THRESHOLD:
+        return _moran_basis_lanczos(x, q.tocsr(), r, num_eigs,
+                                    xtx_inv_xt)
+
     p = -(x @ xtx_inv_xt)
     p[np.diag_indices_from(p)] += 1.0
 
@@ -144,8 +165,6 @@ def moran_basis(x, q, r=0.5, num_eigs=None):
     if num_eigs:
         q_dim = int(num_eigs)
     else:
-        if not 0 <= r <= 1:
-            raise ValueError('Threshold value needs to be in [0, 1]')
         q_dim = int((w >= r).sum())
         if not q_dim:
             raise ValueError(
@@ -155,3 +174,54 @@ def moran_basis(x, q, r=0.5, num_eigs=None):
     k = v[:, -q_dim:]
     q_rsr = k.T @ q_dense @ k
     return k, q_rsr
+
+
+def _moran_basis_lanczos(x, q_csr, r, num_eigs, xtx_inv_xt):
+    """Matrix-free top-q Moran eigenbasis (sparse Q, large n).
+
+    Threshold mode (``num_eigs=None``) cannot know the basis size up
+    front, so the Lanczos block doubles until the smallest retrieved
+    eigenvalue falls below ``r`` (every eigenvalue >= r is then in
+    hand), capped at n/4 — past that a reduced basis is no reduction.
+    """
+    import scipy.sparse as sps
+    from scipy.sparse.linalg import LinearOperator, eigsh
+
+    n = x.shape[0]
+    a = -(q_csr - sps.diags(q_csr.diagonal())).tocsr()
+    scale = n / a.sum()
+
+    def pmat(v):
+        return v - x @ (xtx_inv_xt @ v)
+
+    op = LinearOperator(
+        (n, n), matvec=lambda v: scale * pmat(a @ pmat(v)),
+        dtype=np.float64,
+    )
+
+    if num_eigs:
+        k_want = int(num_eigs)
+        w, v = eigsh(op, k=k_want, which='LA')
+        order = np.argsort(w)
+        w, v = w[order], v[:, order]
+    else:
+        k_try = 64
+        while True:
+            k_try = min(k_try, n - 2)
+            w, v = eigsh(op, k=k_try, which='LA')
+            order = np.argsort(w)
+            w, v = w[order], v[:, order]
+            if w[0] < r or k_try >= max(n // 4, 64):
+                break
+            k_try *= 2
+        keep = w >= r
+        if not keep.any():
+            raise ValueError(
+                'The Moran Operator Matrix of the data has no positive '
+                'eigenvalues. Set threshold to a lower value'
+            )
+        w, v = w[keep], v[:, keep]
+    q_rsr = v.T @ (q_csr @ v)
+    # symmetrize: the Lanczos basis is orthonormal to machine precision
+    # only; Q_rsr feeds a Cholesky-style sqrt factor downstream
+    return v, 0.5 * (q_rsr + q_rsr.T)

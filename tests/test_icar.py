@@ -83,3 +83,63 @@ def test_moran_basis_properties():
 
     with pytest.raises(ValueError, match='Threshold value needs to be in'):
         moran_basis(x, q, r=1.5)
+
+
+def test_moran_basis_lanczos_matches_dense():
+    """The matrix-free Lanczos Moran basis must span the same subspace
+    as the dense eigh path (compared via the rotation-invariant
+    projector K K' and the spectrum of Q_rsr)."""
+    import scipy.sparse as sps
+
+    from occuspytial_tpu.ops.icar import _moran_basis_lanczos
+
+    rng = np.random.default_rng(3)
+    q = lattice_precision(20, 20, 8)
+    x = rng.uniform(-2, 2, (400, 3))
+    x[:, 0] = 1
+
+    k_d, qr_d = moran_basis(x, q.toarray(), num_eigs=12)
+    xtx_inv_xt = np.linalg.solve(x.T @ x, x.T)
+    k_l, qr_l = _moran_basis_lanczos(
+        x, sps.csr_matrix(q), 0.5, 12, xtx_inv_xt
+    )
+    assert k_l.shape == k_d.shape == (400, 12)
+    np.testing.assert_allclose(k_l @ k_l.T, k_d @ k_d.T, atol=1e-6)
+    np.testing.assert_allclose(
+        np.linalg.eigvalsh(qr_l), np.linalg.eigvalsh(qr_d), atol=1e-8
+    )
+
+    # threshold mode: adaptive block must find every eigenvalue >= r
+    k_t, _ = _moran_basis_lanczos(
+        x, sps.csr_matrix(q), 0.5, None, xtx_inv_xt
+    )
+    k_ref, _ = moran_basis(x, q.toarray(), r=0.5)
+    assert k_t.shape == k_ref.shape
+    np.testing.assert_allclose(k_t @ k_t.T, k_ref @ k_ref.T, atol=1e-6)
+
+
+def test_rsr_samplers_large_sparse_q():
+    """RSR construction at >= the Lanczos threshold with a SPARSE Q:
+    no dense Q is materialized and both RSR samplers run (the reference
+    RSR needs a dense eigendecomposition, capping it at small n)."""
+    import scipy.sparse as sps
+
+    from occuspytial_tpu import LogitRSRGibbs, ProbitRSRGibbs
+    from occuspytial_tpu.ops.icar import _MORAN_LANCZOS_THRESHOLD
+    from occuspytial_tpu.utils import make_data
+
+    rows = 64
+    n = _MORAN_LANCZOS_THRESHOLD
+    assert rows * (n // rows) == n
+    q = sps.csr_matrix(lattice_precision(rows, n // rows, 8))
+    _, W, X, y, *_ = make_data(
+        n=n, ns=60, p=3, q=2, min_v=2, max_v=4, random_state=0
+    )
+
+    for cls in (LogitRSRGibbs, ProbitRSRGibbs):
+        kw = {'pg_method': 'devroye'} if cls is LogitRSRGibbs else {}
+        s = cls(q, W, X, y, random_state=0, q=24, **kw)
+        assert 'Q' not in s.fixed, 'dense Q must not be materialized'
+        assert s.q_dim == 24
+        post = s.sample(8, burnin=2, chains=2, progressbar=False)
+        assert np.isfinite(np.asarray(post['beta'])).all()
