@@ -125,6 +125,41 @@ CELLS = [
         ')\n'
         "print('resumed draws:', resumed['beta'].shape)"
     ),
+    md(
+        '## Irregular spatial graphs (county maps, meshes)\n\n'
+        'Real survey regions are rarely lattices. Pass any sparse ICAR '
+        'precision and the ICAR samplers use the matrix-free graph '
+        'solver (`solver="graph"`, automatic for sparse Q at large n): '
+        'padded neighbor panels, a deflated-Jacobi CG, and — when the '
+        'reordered bandwidth permits — a gather-free block-tridiagonal '
+        'MXU layout. The probit ICAR sampler accepts the same solvers, '
+        'and the RSR samplers compute their Moran basis matrix-free '
+        'for sparse Q at 2048+ sites, so every family scales to 10k+ '
+        'sites.'
+    ),
+    code(
+        'import scipy.sparse as sps\n'
+        'from scipy.spatial import Delaunay\n'
+        'from occuspytial_tpu import LogitICARGibbs\n\n'
+        'pts = np.random.default_rng(0).uniform(0, 1, (300, 2))\n'
+        'tri = Delaunay(pts)\n'
+        'r_, c_ = [], []\n'
+        'for s3 in tri.simplices:\n'
+        '    for a in range(3):\n'
+        '        r_ += [s3[a], s3[(a + 1) % 3]]\n'
+        '        c_ += [s3[(a + 1) % 3], s3[a]]\n'
+        'adj = (sps.coo_matrix(\n'
+        '    (np.ones(len(r_)), (r_, c_)), shape=(300, 300)\n'
+        ') > 0).astype(float)\n'
+        'q_graph = sps.csr_matrix(\n'
+        '    sps.diags(np.asarray(adj.sum(1)).ravel()) - adj\n'
+        ')\n'
+        'gs = LogitICARGibbs(q_graph, W, X, y, random_state=11,\n'
+        "                    solver='graph')\n"
+        "print('solver:', gs.solver, '| banded tile:', gs.graph.block)\n"
+        'gs.sample(200, burnin=100, chains=2,\n'
+        '          progressbar=False).summary.head(3)'
+    ),
 ]
 
 
