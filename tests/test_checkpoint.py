@@ -40,3 +40,30 @@ def test_init_carry_with_start():
     keys, states = s.init_carry(chains=3, start=start)
     assert states['alpha'].shape == (3, 2)
     np.testing.assert_allclose(np.asarray(states['alpha']), 1.0)
+
+
+def test_resume_probit_iterative_carries_warm_start(tmp_path):
+    """The probit graph solver's CG warm-start rides the carry: a
+    checkpointed split run must continue the uninterrupted run exactly
+    (warm starts affect only solver convergence, but a dropped or
+    mis-restored eta_warm key would break the carry pytree contract)."""
+    import scipy.sparse as sps
+
+    from occuspytial_tpu import ProbitICARGibbs
+
+    s = ProbitICARGibbs(
+        sps.csr_matrix(Q), W, X, y, random_state=3, solver='graph'
+    )
+    full = s.sample(48, chains=2, progressbar=False)
+
+    first = s.sample(24, chains=2, progressbar=False)
+    path = tmp_path / 'carry_probit.npz'
+    s.save_carry(path, s.final_carry)
+    carry = s.load_carry(path)
+    assert 'eta_warm' in carry[1]
+    second = s.sample(24, chains=2, progressbar=False, resume_from=carry)
+
+    np.testing.assert_allclose(
+        np.concatenate([first['beta'], second['beta']], axis=1),
+        full['beta'], rtol=1e-5, atol=1e-6,
+    )
