@@ -58,14 +58,48 @@ print(f'eta solver max rel residual at n=1000: chol {r_chol:.2e}, '
 assert r_chol < 1e-2, r_chol
 assert r_cg < 2.0, r_cg
 
-# arbitrary-graph solver lane: exact-f32 gather matvec, so the residual
-# tolerance is tight even on TPU (no bf16 matmul in the operator)
+# arbitrary-graph solver lane: exact-f32 operators (gathers, or the
+# float32-accumulated banded einsums), so the residual tolerance is
+# tight even on TPU (no one-pass bf16 matmul in the operator)
 import scipy.sparse as sps
 s_gr = LogitICARGibbs(sps.csr_matrix(Q), W, X, y, random_state=7,
                       solver='graph')
 r_gr = s_gr.solver_residual(carry)
-print(f'graph solver (deflated-Jacobi CG) residual at n=1000: {r_gr:.2e}')
+print(f'graph solver (deflated-Jacobi CG, banded tile '
+      f'{s_gr.graph.block}) residual at n=1000: {r_gr:.2e}')
+assert s_gr.graph.block > 0, 'banded MXU layout should engage here'
 assert r_gr < 1e-2, r_gr
+
+# probit iterative lane: the unit-omega system tau*Q + I through the
+# same graph operators
+from occuspytial_tpu import ProbitICARGibbs
+s_pg = ProbitICARGibbs(sps.csr_matrix(Q), W, X, y, random_state=7,
+                       solver='graph')
+r_pg = s_pg.solver_residual()
+print(f'probit graph solver residual at n=1000: {r_pg:.2e}')
+assert r_pg < 1e-2, r_pg
+'''
+
+QUEUE_CHECK = r'''
+import jax, numpy as np, time
+jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+from occuspytial_tpu import LogitICARGibbs
+from occuspytial_tpu.utils import make_data
+
+# regression for the tunneled runtime's dispatch-queue depth limit:
+# a long many-chunk run used to die with InvalidArgument ~17 scan
+# chunks deep because block_until_ready is a no-op there and the
+# every-N-chunks queue bound never actually bounded anything
+Q, W, X, y, *_ = make_data(n=1000, ns=500, p=3, q=3, min_v=2, max_v=10,
+                           random_state=7)
+s = LogitICARGibbs(Q, W, X, y, random_state=7)
+t0 = time.time()
+post = s.sample(3000, burnin=1000, chains=4, progressbar=False)
+assert np.isfinite(np.asarray(post['beta'])).all()
+print(f'long-run queue regression (47 chunks, 3000 draws): OK '
+      f'({time.time()-t0:.0f}s)')
 '''
 
 
@@ -96,9 +130,17 @@ def main():
 
     proc, dt = run([sys.executable, '-c', SAMPLER_CHECK])
     tail = '\n'.join(
-        (proc.stdout + proc.stderr).strip().splitlines()[-6:]
+        (proc.stdout + proc.stderr).strip().splitlines()[-8:]
     )
     lines += ['', f'## sampler reproducibility + solver residual '
+              f'({dt:.0f}s, rc={proc.returncode})', tail]
+    ok &= proc.returncode == 0
+
+    proc, dt = run([sys.executable, '-c', QUEUE_CHECK])
+    tail = '\n'.join(
+        (proc.stdout + proc.stderr).strip().splitlines()[-3:]
+    )
+    lines += ['', f'## dispatch-queue depth regression '
               f'({dt:.0f}s, rc={proc.returncode})', tail]
     ok &= proc.returncode == 0
 
