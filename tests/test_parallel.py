@@ -121,3 +121,27 @@ class TestSiteSharded2D:
         )
         with pytest.raises(ValueError, match='must divide'):
             sample_parallel_2d(lattice_model(), 2, mesh, chains=2)
+
+
+@pytest.mark.parametrize('make', [
+    lambda: __import__('occuspytial_tpu').ProbitICARGibbs(
+        Q, W, X, y, random_state=4
+    ),
+    lambda: __import__('occuspytial_tpu').ProbitICARGibbs(
+        __import__('scipy.sparse', fromlist=['csr_matrix']).csr_matrix(Q),
+        W, X, y, random_state=4, solver='graph',
+    ),
+    lambda: __import__('occuspytial_tpu').ProbitRSRGibbs(
+        Q, W, X, y, random_state=4
+    ),
+], ids=['probit-icar-spectral', 'probit-icar-graph', 'probit-rsr'])
+def test_probit_sharded_matches_single_device(make):
+    """Chains-axis sharding is sampler-agnostic: the probit families
+    (including the iterative graph regime with its warm-start carry)
+    must produce identical draws sharded and local."""
+    s = make()
+    post_sharded = sample_parallel(s, size=6, chains=8, mesh=chain_mesh())
+    post_local = s.sample(6, chains=8, progressbar=False)
+    np.testing.assert_allclose(
+        post_sharded['beta'], post_local['beta'], rtol=2e-4, atol=1e-5
+    )
