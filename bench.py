@@ -498,6 +498,15 @@ def main():
 
     log(f'budget {budget:.0f}s (backend reported per-subprocess)')
     detail = {}
+    # prior committed artifact, read BEFORE the first flush overwrites
+    # it: a config whose every attempt fails (e.g. a device-tunnel
+    # outage) keeps its last real measurement flagged stale instead of
+    # replacing it with an error row
+    try:
+        with open(DETAIL) as fh:
+            prior = json.load(fh)
+    except Exception:
+        prior = {}
 
     def flush_detail():
         with open(DETAIL, 'w') as fh:
@@ -579,7 +588,14 @@ def main():
                 f'{which} and the rest')
             detail[slot] = {'config': which, 'skipped': 'budget'}
             continue
-        detail[slot] = run_subprocess_config(which, deadline=deadline)
+        res = run_subprocess_config(which, deadline=deadline)
+        if 'ess_per_sec' not in res and (
+                prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0
+                and not prior[slot].get('stale')):
+            log(f'config {which}: all attempts failed; keeping the '
+                f'prior measurement (stale)')
+            res = dict(prior[slot], stale=True, last_error=res)
+        detail[slot] = res
         flush_detail()
 
     log(f'detail written to {DETAIL} '
