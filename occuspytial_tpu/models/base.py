@@ -90,6 +90,14 @@ class GibbsBase:
     #: names of parameters retained in the posterior chain
     posterior_names = ('alpha', 'beta', 'tau')
 
+    #: extra state entries to record per draw, e.g. ``('z',)`` for
+    #: posterior occupancy maps or ``('eta',)`` for the spatial field —
+    #: set on the instance before :meth:`sample`. Rebuild addition (the
+    #: reference stores only alpha/beta/tau, gibbs/base.py:23-27); the
+    #: recorded arrays are (chains, draws, n)-sized, so mind host memory
+    #: at large n. Changing it compiles a new runner (config-keyed).
+    track = ()
+
     #: iterations per compiled scan dispatch; any ``sample(size=...)`` is
     #: served by repeats of this one executable (see ``sample``)
     scan_chunk = 64
@@ -220,7 +228,11 @@ class GibbsBase:
             ('n_beta', self.n_beta),
             ('max_visits', self.max_visits),
             ('total_visits', self.total_visits),
-            ('posterior_names', self.posterior_names),
+            # the runner's scan body records posterior_names (the proxy
+            # receives this extended tuple), so tracked extras ride the
+            # same compiled program
+            ('posterior_names',
+             tuple(self.posterior_names) + tuple(self.track)),
             ('rng_impl', self.rng_impl),
         )
 
@@ -328,6 +340,12 @@ class GibbsBase:
         init_keys = jax.random.split(jax.random.fold_in(root, 1), chains)
         run_keys = jax.random.split(jax.random.fold_in(root, 2), chains)
         state0 = init(init_keys, self.fixed)
+        unknown = [t for t in self.track if t not in state0]
+        if unknown:
+            raise ValueError(
+                f'track names {unknown} are not state entries; this '
+                f'model carries {sorted(state0)}'
+            )
         if start is not None:
             state0 = jax.vmap(lambda s: self._apply_start(s, start))(state0)
         return (run_keys, state0)
@@ -429,7 +447,7 @@ class GibbsBase:
         self.final_carry = carry
 
         merged = {}
-        for name in self.posterior_names:
+        for name in tuple(self.posterior_names) + tuple(self.track):
             arr = np.concatenate([np.asarray(o[name]) for o in outs])
             merged[name] = np.moveaxis(arr, 0, 1)[:, burnin:]
         return PosteriorParameter(merged)

@@ -350,3 +350,25 @@ def test_probit_icar_iterative_solver_regimes():
     )
     with pytest.raises(RuntimeError, match='did not converge'):
         bad.init_carry(chains=1)
+
+
+def test_track_latent_fields():
+    """sampler.track records extra state entries (e.g. posterior
+    occupancy maps) through the same compiled scan."""
+    s = LogitICARGibbs(Q, W, X, y, random_state=10)
+    s.track = ('z', 'eta')
+    post = s.sample(12, burnin=4, chains=2, progressbar=False)
+    z = np.asarray(post['z'])
+    eta = np.asarray(post['eta'])
+    assert z.shape == (2, 8, 150) and eta.shape == (2, 8, 150)
+    assert set(np.unique(z)) <= {0.0, 1.0}
+    # observed sites are forced occupied in every retained draw
+    obs = np.asarray(s.fixed['obs']) > 0
+    assert z[:, :, obs].min() == 1.0
+    # the ICAR field satisfies its sum-to-zero constraint per draw
+    assert np.abs(eta.sum(axis=-1)).max() < 1e-2
+
+    bad = LogitICARGibbs(Q, W, X, y, random_state=10)
+    bad.track = ('not_a_state',)
+    with pytest.raises(ValueError, match='not state entries'):
+        bad.sample(4, chains=2, progressbar=False)
