@@ -327,17 +327,37 @@ def test_probit_icar_iterative_solver_regimes():
     pi = it.sample(1500, burnin=500, chains=4, progressbar=False)
     assert it.solver_residual() < 1e-2
 
+    # the dataset's Q is a queen lattice with a random factorization of
+    # n=150 (make_data contract): recover it, then run the stencil
+    # regime on the identical model through the O(n) operators
+    from occuspytial_tpu.ops.icar import lattice_precision
+
+    qs = sps.csr_matrix(Q)
+    lat = next(
+        (r_, 150 // r_, 8)
+        for r_ in range(3, 151)
+        if 150 % r_ == 0 and (
+            sps.csr_matrix(lattice_precision(r_, 150 // r_, 8)) != qs
+        ).nnz == 0
+    )
+    st = ProbitICARGibbs(Q, W, X, y, random_state=7, lattice=lat)
+    assert st.solver == 'stencil' and not st.collapsed
+    ps = st.sample(1500, burnin=500, chains=4, progressbar=False)
+    assert st.solver_residual() < 1e-2
+
     for name in ('alpha', 'beta'):
         a = np.asarray(pr[name], np.float64)
-        b = np.asarray(pi[name], np.float64)
-        for j in range(a.shape[2]):
-            ea = max(float(ess_bulk(a[:, :, j])), 4.0)
-            eb = max(float(ess_bulk(b[:, :, j])), 4.0)
-            se = np.sqrt(
-                a[:, :, j].std() ** 2 / ea + b[:, :, j].std() ** 2 / eb
-            )
-            diff = abs(a[:, :, j].mean() - b[:, :, j].mean())
-            assert diff < 6.0 * se + 0.05, (name, j, diff, se)
+        for other in (pi, ps):
+            b = np.asarray(other[name], np.float64)
+            for j in range(a.shape[2]):
+                ea = max(float(ess_bulk(a[:, :, j])), 4.0)
+                eb = max(float(ess_bulk(b[:, :, j])), 4.0)
+                se = np.sqrt(
+                    a[:, :, j].std() ** 2 / ea
+                    + b[:, :, j].std() ** 2 / eb
+                )
+                diff = abs(a[:, :, j].mean() - b[:, :, j].mean())
+                assert diff < 6.0 * se + 0.05, (name, j, diff, se)
 
     with pytest.raises(ValueError, match='collapsed'):
         ProbitICARGibbs(
