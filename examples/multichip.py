@@ -25,7 +25,11 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-if len(jax.devices()) < 8:
+# Decide the backend BEFORE any device is touched: probing jax.devices()
+# initializes the platform (and on a tunneled TPU runtime can block
+# while another process holds the chip), after which the platform can
+# no longer be switched. Opt in to real multi-chip hardware explicitly.
+if os.environ.get('OCCU_MULTICHIP_REAL') != '1':
     jax.config.update('jax_platforms', 'cpu')
 
 from occuspytial_tpu import LogitICARGibbs
