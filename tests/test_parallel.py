@@ -111,6 +111,31 @@ class TestSiteSharded2D:
             sharded['tau'], local['tau'], rtol=2e-3
         )
 
+    def test_2d_mesh_probit_stencil_matches_unsharded(self):
+        """The 2-D GSPMD partitioning is sampler-agnostic: the probit
+        stencil sampler (its state adds eps/omega_b, already in
+        _SITE_STATE) must match its unsharded run too."""
+        from jax.sharding import Mesh
+        from occuspytial_tpu import ProbitICARGibbs
+        from occuspytial_tpu.parallel import sample_parallel_2d
+
+        q_mat, w, x, yy = _lattice_dataset(16, 10, ns=80, seed=4)
+        make = lambda: ProbitICARGibbs(  # noqa: E731
+            q_mat, w, x, yy, random_state=4, lattice=(16, 10, 8),
+        )
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(4, 2),
+            axis_names=('chains', 'sites'),
+        )
+        sharded = sample_parallel_2d(make(), 6, mesh, chains=4)
+        local = make().sample(6, chains=4, progressbar=False)
+        np.testing.assert_allclose(
+            sharded['beta'], local['beta'], rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            sharded['tau'], local['tau'], rtol=2e-3
+        )
+
     def test_site_extent_must_divide(self, lattice_model):
         from jax.sharding import Mesh
         from occuspytial_tpu.parallel import sample_parallel_2d
