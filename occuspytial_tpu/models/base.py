@@ -452,6 +452,69 @@ class GibbsBase:
             merged[name] = np.moveaxis(arr, 0, 1)[:, burnin:]
         return PosteriorParameter(merged)
 
+    def sample_until(
+        self, rhat_tol=1.01, min_ess=400.0, chains=4, check_every=512,
+        max_size=32768, start=None, discard_frac=0.5, progressbar=False,
+    ):
+        """Sample adaptively until convergence (rebuild addition).
+
+        Extends the run in ``check_every``-draw blocks (each a resumed
+        dispatch of the same compiled scan — no recompilation, bitwise
+        identical to one long run) until, over the retained window (the
+        last ``1 - discard_frac`` of draws — the adaptive analog of
+        burn-in), every recorded scalar has rank-normalized split-R-hat
+        <= ``rhat_tol`` and pooled bulk ESS >= ``min_ess`` (``None``
+        disables either criterion). Returns the window's
+        :class:`~occuspytial_tpu.posterior.PosteriorParameter`; raises
+        ``RuntimeError`` naming the worst parameter if ``max_size``
+        draws do not converge. The reference has no analog — its run
+        length is fixed up front (gibbs/base.py:243-291).
+        """
+        from .. import diagnostics as dg
+
+        if check_every < 8:
+            raise ValueError('check_every must be at least 8')
+        acc = {}
+        carry = None
+        total = 0
+        while True:
+            post = self.sample(
+                check_every, chains=chains, start=start,
+                progressbar=progressbar, resume_from=carry,
+            )
+            carry, start = self.final_carry, None
+            total += check_every
+            for name in post.data:
+                arr = np.asarray(post[name])
+                acc[name] = (
+                    arr if name not in acc
+                    else np.concatenate([acc[name], arr], axis=1)
+                )
+            keep = max(int(total * (1.0 - discard_frac)), 4)
+            window = {k: v[:, -keep:] for k, v in acc.items()}
+            worst_name, worst_rhat, worst_ess = None, 0.0, np.inf
+            for name, arr in window.items():
+                scalar = arr.ndim == 2
+                cols = arr[..., None] if scalar else arr
+                for j in range(cols.shape[2]):
+                    label = name if scalar else f'{name}[{j}]'
+                    r = float(dg.rhat(cols[:, :, j]))
+                    e = float(dg.ess_bulk(cols[:, :, j]))
+                    if r > worst_rhat:
+                        worst_name, worst_rhat = label, r
+                    worst_ess = min(worst_ess, e)
+            ok_rhat = rhat_tol is None or worst_rhat <= rhat_tol
+            ok_ess = min_ess is None or worst_ess >= min_ess
+            if ok_rhat and ok_ess:
+                return PosteriorParameter(window)
+            if total >= max_size:
+                raise RuntimeError(
+                    f'no convergence after {total} draws: worst '
+                    f'{worst_name} has r_hat {worst_rhat:.4f} '
+                    f'(tol {rhat_tol}), min pooled ess_bulk '
+                    f'{worst_ess:.0f} (need {min_ess})'
+                )
+
     def copy(self):
         """Return a same-model sampler with an independent random stream
         (API parity with reference gibbs/base.py:293-306). Shares the

@@ -392,3 +392,27 @@ def test_track_latent_fields():
     bad.track = ('not_a_state',)
     with pytest.raises(ValueError, match='not state entries'):
         bad.sample(4, chains=2, progressbar=False)
+
+
+def test_sample_until_converges_and_raises():
+    """Adaptive run length: extends the run in resumed compiled-scan
+    blocks until split-R-hat/ESS criteria hold on the retained window,
+    and raises naming the worst parameter when max_size hits first."""
+    from occuspytial_tpu import diagnostics as dg
+
+    s = LogitRSRGibbs(Q, W, X, y, random_state=10)
+    post = s.sample_until(
+        rhat_tol=1.05, min_ess=200, chains=4, check_every=256,
+    )
+    assert post['alpha'].shape[0] == 4
+    worst = max(float(dg.rhat(a)) for _, a in post._iter_scalars())
+    assert worst <= 1.05
+    assert min(
+        float(dg.ess_bulk(a)) for _, a in post._iter_scalars()
+    ) >= 200
+
+    s2 = LogitRSRGibbs(Q, W, X, y, random_state=10)
+    with pytest.raises(RuntimeError, match='no convergence'):
+        s2.sample_until(
+            rhat_tol=1.0 + 1e-9, chains=2, check_every=64, max_size=128,
+        )
