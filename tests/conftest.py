@@ -24,17 +24,20 @@ if not _TPU_LANE:
     # hardware lane (scripts/tpu_check.py) runs the Pallas kernel tests
     # that this CPU-forced default configuration must skip
     jax.config.update('jax_platforms', 'cpu')
-# CPU executables are host-CPU-feature-specific: a cache written by a
-# previous round's host with different features makes XLA's AOT loader
-# warn ("machine type ... doesn't match") and can segfault outright in
-# compilation_cache.get_executable_and_time (observed SIGSEGV mid-suite).
-# A /tmp cache is per-host by construction; the repo-level .jax_cache
-# stays reserved for TPU executables, which don't embed host features.
-jax.config.update(
-    'jax_compilation_cache_dir',
-    '/tmp/occu_jax_cache' if not _TPU_LANE else os.path.join(
-        os.path.dirname(__file__), '..', '.jax_cache'
-    ),
-)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+# The persistent cache is DISABLED on the CPU lane: XLA's CPU AOT
+# executable (de)serializer segfaults on this image — loading entries
+# written by a different host crashes in get_executable_and_time
+# ("machine type ... doesn't match" SIGILL warnings first), and even
+# with a fresh per-host cache the full suite reproducibly segfaults in
+# put_executable_and_time while serializing one of the later big scan
+# executables. A cold suite costs ~20% extra wall time; a segfaulted
+# suite costs everything. The TPU hardware lane keeps the repo cache —
+# serialized TPU executables don't embed host-CPU features and both
+# fault modes are CPU-serializer-specific.
+if _TPU_LANE:
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        os.path.join(os.path.dirname(__file__), '..', '.jax_cache'),
+    )
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
