@@ -151,9 +151,13 @@ class LogitICARGibbs(GibbsBase):
             # 15 covers the spectral/DCT-preconditioned paths with
             # margin (measured stationary-state residual 2.4e-6 at 12
             # iterations on the 10k-site lattice); the graph path's
-            # deflated-Jacobi preconditioner is weaker — 32 measures
-            # ~1e-4 cold at 10k sites (ops/graph.py calibration)
-            cg_iters = 32 if self.solver == 'graph' else 15
+            # deflated-Jacobi preconditioner is weaker. Measured COLD
+            # worst-case relative residuals at 10k sites across
+            # tau in [0.01, 1000] (in-loop solves warm-start and only
+            # do better): 20 iters 2.4e-3, 24 iters 8.7e-4, 32 iters
+            # 1.1e-4 — 24 sits well under the f32 matmul noise the
+            # dense paths already carry at 25% less CG cost than 32
+            cg_iters = 24 if self.solver == 'graph' else 15
         self.cg_iters = int(cg_iters)
         self._needs_dense_q = self.solver not in ('stencil', 'graph')
         super().__init__(

@@ -541,7 +541,9 @@ class ProbitICARGibbs(_ProbitBase):
         self.graph_block = graph_block
         self.graph = None
         if cg_iters is None:
-            cg_iters = 32 if solver == 'graph' else 15
+            # graph-path budget calibration in models/logit.py; the
+            # probit system (omega = 1) is better conditioned still
+            cg_iters = 24 if solver == 'graph' else 15
         self.cg_iters = int(cg_iters)
         self.solver_check_tol = solver_check_tol
         self._solver_checked = False
