@@ -42,10 +42,12 @@ _HALF_PI_SQ = jnp.pi * jnp.pi / 8.0
 # Maximum masked resampling rounds. Each round succeeds with prob > 0.5 per
 # lane; 64 rounds bounds the failure probability per lane below 1e-19.
 _MAX_ROUNDS = 64
-# Number of alternating-series terms used for the acceptance test. Terms
-# decay like exp(-c * n^2) with c >= 3.1, so 8 terms is far beyond float64
-# precision already.
-_N_SERIES = 8
+# Number of alternating-series terms used for the acceptance test. Both
+# branch exponents equal -3.158*(n+1/2)^2 at the worst point x = t, so the
+# bracket width after 4 terms is a_4/a_0 ~ 3e-27 of the density bound —
+# every lane is decided to far below float64 resolution and the
+# undecided->accept fallback bias is ~1e-27 per draw.
+_N_SERIES = 4
 
 
 def _mass_texpon(c):
