@@ -107,36 +107,28 @@ def _pg_kernel(seeds_ref, c_ref, ratio_ref, kexp_ref, out_ref):
             committed > 0.5, is_exp, (u < ratio).astype(jnp.float32)
         )
 
-        # one shared triple (ua, ub, uc) feeds all three proposal
-        # branches: a lane consumes exactly one branch's value per round
-        # (the exp/body choice is per-round-exclusive and squeeze-vs-IG
-        # is static in c), so reusing the bits across branches changes
-        # nothing distributionally while cutting the round from 9
-        # uniforms + 4 logs to 5 + 2 — VPU transcendentals are this
-        # loop's critical path
-        ua = _uniform(shape)
-        ub = _uniform(shape)
-        uc = _uniform(shape)
-        lua = jnp.log(ua)
-        lub = jnp.log(ub)
-
         # branch A: exponential tail on (t, inf)
-        x_exp = _T - lua / k_exp
+        e_tail = -jnp.log(_uniform(shape))
+        x_exp = _T + e_tail / k_exp
 
         # branch B1: squeeze sampler for the tIG body (c < 1/t)
-        e1 = -lua
-        e2 = -lub
+        e1 = -jnp.log(_uniform(shape))
+        e2 = -jnp.log(_uniform(shape))
         ok_sq = e1 * e1 <= 2.0 * e2 / _T
         x_sq = _T / ((1.0 + _T * e1) ** 2)
-        ok_sq = ok_sq & (uc < jnp.exp(-x_sq * half_csq))
+        ok_sq = ok_sq & (_uniform(shape) < jnp.exp(-x_sq * half_csq))
 
         # branch B2: Michael-Schucany-Haas IG transform (c >= 1/t),
         # chi-square variate via Box-Muller
-        nrm = jnp.sqrt(-2.0 * lua) * jnp.cos((2.0 * jnp.pi) * ub)
+        u1 = _uniform(shape)
+        u2 = _uniform(shape)
+        nrm = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+            (2.0 * jnp.pi) * u2
+        )
         y0 = nrm * nrm
         mu_y = mu * y0
         x_ig = mu + 0.5 * mu * (mu_y - jnp.sqrt(4.0 * mu_y + mu_y * mu_y))
-        flip = uc > mu / (mu + x_ig)
+        flip = _uniform(shape) > mu / (mu + x_ig)
         x_ig = jnp.where(flip, mu * mu / x_ig, x_ig)
         ok_ig = x_ig <= _T
 

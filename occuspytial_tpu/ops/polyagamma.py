@@ -126,47 +126,35 @@ def _propose_once(key, c, ratio, k_exp, committed, is_exp):
 
     Returns ``(x, accepted, committed', is_exp')``.
     """
-    ku, ka, kb, kc, kv = jax.random.split(key, 5)
+    ku, ke1, ke2, kig, kacc, kv = jax.random.split(key, 6)
     shape = c.shape
     dt = c.dtype
 
     u = jax.random.uniform(ku, shape, dt)
     is_exp = jnp.where(committed, is_exp, u < ratio)
 
-    # one shared triple (ua, ub, uc) feeds all three proposal branches:
-    # a lane consumes exactly one branch's value per round (the exp/body
-    # choice is per-round-exclusive and squeeze-vs-IG is static in c),
-    # so reusing the bits across branches changes nothing
-    # distributionally while cutting the round's RNG work from 8
-    # threefry streams to 5 and its logs from 4 to 2. The 1-u flip maps
-    # jax's [0, 1) uniforms onto (0, 1] so the logs stay finite.
-    ua = 1.0 - jax.random.uniform(ka, shape, dt)
-    ub = 1.0 - jax.random.uniform(kb, shape, dt)
-    uc = jax.random.uniform(kc, shape, dt)
-    lua = jnp.log(ua)
-    lub = jnp.log(ub)
-
     # --- branch A: exponential tail, x = t + Exp(1)/K (always a valid
     #     proposal from the mixture) ---
-    x_exp = _T - lua / k_exp
+    e_tail = jax.random.exponential(ke1, shape, dt)
+    x_exp = _T + e_tail / k_exp
 
     # --- branch B: truncated inverse-Gaussian body on (0, t) ---
     # B1 (c < 1/t): squeeze sampler based on two exponentials.
-    e1 = -lua
-    e2 = -lub
+    e1 = jax.random.exponential(ke2, shape, dt)
+    e2 = jax.random.exponential(kig, shape, dt)
     ok_sq = e1 * e1 <= 2.0 * e2 / _T
     x_sq = _T / ((1.0 + _T * e1) ** 2)
-    ok_sq = ok_sq & (uc < jnp.exp(-0.5 * x_sq * c * c))
+    u_acc = jax.random.uniform(kacc, shape, dt)
+    ok_sq = ok_sq & (u_acc < jnp.exp(-0.5 * x_sq * c * c))
 
     # B2 (c >= 1/t): Michael-Schucany-Haas IG(mu=1/c, 1) transform, reject
-    # unless the draw lands inside (0, t); chi-square variate via
-    # Box-Muller on the shared pair.
+    # unless the draw lands inside (0, t).
     mu = 1.0 / jnp.maximum(c, 1e-30)
-    nrm = jnp.sqrt(-2.0 * lua) * jnp.cos((2.0 * jnp.pi) * ub)
-    y0 = nrm * nrm
+    y0 = jax.random.normal(kv, shape, dt) ** 2
     mu_y = mu * y0
     x_ig = mu + 0.5 * mu * (mu_y - jnp.sqrt(4.0 * mu_y + mu_y * mu_y))
-    x_ig = jnp.where(uc <= mu / (mu + x_ig), x_ig, mu * mu / x_ig)
+    u_flip = jax.random.uniform(jax.random.fold_in(kv, 1), shape, dt)
+    x_ig = jnp.where(u_flip <= mu / (mu + x_ig), x_ig, mu * mu / x_ig)
     ok_ig = x_ig <= _T
 
     use_squeeze = c < (1.0 / _T)
@@ -177,7 +165,7 @@ def _propose_once(key, c, ratio, k_exp, committed, is_exp):
     valid = is_exp | ok_body
 
     # --- series acceptance test (only meaningful for valid proposals) ---
-    v = jax.random.uniform(kv, shape, dt)
+    v = jax.random.uniform(jax.random.fold_in(kacc, 1), shape, dt)
     accepted = valid & _series_accept(x, v)
 
     # invalid body proposal -> stay committed to the body branch;
