@@ -296,11 +296,16 @@ def run_one(which):
                 )
                 # per-chain size/burnin match the floor protocol above
                 # (2048/512), so the short-chain bias of the pooled ESS
-                # estimator cancels in the vs_floor ratio
+                # estimator cancels in the vs_floor ratio.
+                # 1024 chains: measured sweep (scripts/chain_scaling.py,
+                # 2026-08-18) — pooled ESS/sec keeps rising through 1024
+                # (64: 938, 256: 1823, 512: 2024, 1024: 2385 ESS/s); the
+                # longer ~2.3 s timed window also cuts the run-to-run
+                # spread from ~30% to ~7% through the device tunnel
                 s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
                 res = bench_config(
-                    'config2 probitICAR n=100 64 chains', s,
-                    2048, 512, 64,
+                    'config2 probitICAR n=100 1024 chains', s,
+                    2048, 512, 1024,
                 )
             else:  # '2b': like-for-like vs the reference's RSR probit
                 from benchmarks.reference_floor import NumpyProbitRSR

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SWEEP = {
-    'probit_icar': (64, 128, 256, 512),
+    'probit_icar': (64, 128, 256, 512, 1024),
     'probit_rsr': (64, 256, 512),
     'logit_rsr': (64, 128, 256),
 }
