@@ -99,8 +99,17 @@ class GibbsBase:
     track = ()
 
     #: iterations per compiled scan dispatch; any ``sample(size=...)`` is
-    #: served by repeats of this one executable (see ``sample``)
-    scan_chunk = 64
+    #: served by repeats of this one executable (see ``sample``). The
+    #: default ``None`` picks per backend: on accelerators the whole run
+    #: is ONE dispatch (scan compile time is length-independent, and a
+    #: tunneled TPU runtime faults after a few dozen dispatches per
+    #: process — measured: chunk 128 -> 557 it/s with failures past ~27
+    #: cumulative dispatches, chunk 3008 -> 1559 it/s, headline config);
+    #: on CPU a 64-iteration chunk is kept so different sample sizes
+    #: reuse one compiled executable (the test suite is
+    #: compile-dominated). Progress bars and ``track``-ed latent fields
+    #: re-chunk as needed (see ``_resolve_chunk``).
+    scan_chunk = None
 
     #: jax PRNG implementation for the sampler's random stream; set the
     #: instance attribute to override. 'rbg' is substantially faster on
@@ -370,6 +379,36 @@ class GibbsBase:
         }
         return (keys, states)
 
+    #: device-resident bytes of per-draw scan output the auto chunk
+    #: policy allows before splitting a run into multiple dispatches
+    #: (only reachable with ``track``-ed latent fields; the posterior
+    #: scalars are negligible at any sane size)
+    _auto_chunk_output_budget = 256 << 20
+
+    def _resolve_chunk(self, size, with_bar, state0):
+        """Iterations per scan dispatch for this run (see ``scan_chunk``).
+
+        Auto policy (``scan_chunk is None``): on CPU, 64 — executables
+        are then shared across sample sizes, which the compile-dominated
+        test suite relies on. On accelerators, the whole run is one
+        dispatch (fastest, and fewest round-trips through a tunneled
+        runtime), split only to tick a progress bar (~16 updates) or to
+        bound the device-resident output of ``track``-ed latent fields.
+        """
+        if self.scan_chunk is not None:
+            return max(1, int(self.scan_chunk))
+        if jax.default_backend() == 'cpu':
+            return 64
+        chunk = max(64, -(-size // 16)) if with_bar else size
+        if self.track:
+            per_draw = sum(
+                state0[t].size * state0[t].dtype.itemsize
+                for t in self.track
+            )
+            cap = max(1, self._auto_chunk_output_budget // max(per_draw, 1))
+            chunk = min(chunk, cap)
+        return max(1, min(size, chunk))
+
     def sample(
         self, size, burnin=0, start=None, chains=2, progressbar=True,
         resume_from=None,
@@ -399,18 +438,6 @@ class GibbsBase:
         else:
             run_keys, state0 = self.init_carry(chains, start)
 
-        # All sampling runs as repeats of one fixed-length compiled scan
-        # (resumed from the carried per-chain keys, so the result is
-        # bitwise-identical to a single fused scan). The executable then
-        # depends only on (model config, chains, scan_chunk) — never on
-        # ``size``/``burnin``; a trailing remainder chunk (compiled once
-        # per distinct remainder) keeps ``final_carry`` exactly at
-        # iteration ``size`` for resumption.
-        chunk = max(1, int(self.scan_chunk))
-        lengths = [chunk] * (size // chunk)
-        if size % chunk:
-            lengths.append(size % chunk)
-
         bar = None
         if progressbar:
             try:
@@ -425,6 +452,18 @@ class GibbsBase:
                 )
             else:
                 bar = tqdm(total=size)
+
+        # All sampling runs as repeats of one fixed-length compiled scan
+        # (resumed from the carried per-chain keys, so the result is
+        # bitwise-identical to a single fused scan). The executable
+        # depends only on (model config, chains, chunk length) — chunking
+        # never changes the draws; a trailing remainder chunk (compiled
+        # once per distinct remainder) keeps ``final_carry`` exactly at
+        # iteration ``size`` for resumption.
+        chunk = self._resolve_chunk(size, bar is not None, state0)
+        lengths = [chunk] * (size // chunk)
+        if size % chunk:
+            lengths.append(size % chunk)
         carry, outs = (run_keys, state0), []
         try:
             for i, ln in enumerate(lengths):

@@ -85,7 +85,10 @@ def worker(variant):
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     sampler = build(variant)
-    sampler.scan_chunk = int(os.environ.get('CHUNK', 128))
+    # default: one dispatch per run (the tunneled runtime faults past a
+    # few dozen cumulative dispatches per process; see models/base.py
+    # scan_chunk docs). Set CHUNK to profile the chunked path.
+    sampler.scan_chunk = int(os.environ.get('CHUNK', SIZE))
     # warm up BOTH programs a full run uses (chunk + remainder) so the
     # timed run is compile-free
     warm_n = min(SIZE, sampler.scan_chunk)

@@ -416,3 +416,37 @@ def test_sample_until_converges_and_raises():
         s2.sample_until(
             rhat_tol=1.0 + 1e-9, chains=2, check_every=64, max_size=128,
         )
+
+
+def test_auto_scan_chunk_policy(monkeypatch):
+    """scan_chunk=None resolves per backend: 64 on CPU (one executable
+    shared across sample sizes), a single whole-run dispatch on
+    accelerators (dispatch round-trips through a tunneled TPU runtime
+    are the scarce resource — docs/design.md), re-chunked only for
+    progress-bar ticks or to bound track-ed per-dispatch output."""
+    import jax
+
+    from occuspytial_tpu.models import base as base_mod
+
+    s = LogitICARGibbs(Q, W, X, y, random_state=1)
+    assert s.scan_chunk is None  # library default is auto
+    assert s._resolve_chunk(1000, False, {}) == 64  # CPU backend
+
+    s.scan_chunk = 17  # explicit override wins on any backend
+    assert s._resolve_chunk(1000, False, {}) == 17
+    s.scan_chunk = None
+
+    monkeypatch.setattr(
+        base_mod.jax, 'default_backend', lambda: 'tpu'
+    )
+    assert s._resolve_chunk(3008, False, {}) == 3008  # one dispatch
+    assert s._resolve_chunk(3008, True, {}) == 188  # ~16 bar ticks
+    assert s._resolve_chunk(100, True, {}) == 64  # floor, capped to size
+
+    # track-ed fields: chunk * per-draw-bytes stays under the budget
+    s.track = ('eta',)
+    state0 = {'eta': np.zeros((64, 1000), np.float32)}
+    budget = base_mod.GibbsBase._auto_chunk_output_budget
+    expect = budget // (64 * 1000 * 4)
+    assert s._resolve_chunk(100000, False, state0) == expect
+    del jax
