@@ -305,6 +305,36 @@ def test_asis_same_posterior_logit():
         float(ess_bulk(np.asarray(pf['tau'], np.float64)))
 
 
+def test_spatial_sweeps_same_posterior_logit():
+    """Repeating the (tau, beta/eta, ASIS) block per PG draw composes
+    exact conditional moves, so sweeps=1 and the default sweeps=2 must
+    target the same posterior (z-test on means within combined MC
+    error) while tau mixing must not degrade."""
+    from occuspytial_tpu.diagnostics import ess_bulk
+
+    one = LogitICARGibbs(Q, W, X, y, random_state=5, spatial_sweeps=1)
+    two = LogitICARGibbs(Q, W, X, y, random_state=5)
+    assert two.spatial_sweeps == 2
+    p1 = one.sample(2000, burnin=600, chains=4, progressbar=False)
+    p2 = two.sample(2000, burnin=600, chains=4, progressbar=False)
+    for name in ('alpha', 'beta'):
+        a = np.asarray(p1[name], np.float64)
+        b = np.asarray(p2[name], np.float64)
+        for j in range(a.shape[2]):
+            ea = max(float(ess_bulk(a[:, :, j])), 4.0)
+            eb = max(float(ess_bulk(b[:, :, j])), 4.0)
+            se = np.sqrt(
+                a[:, :, j].std() ** 2 / ea + b[:, :, j].std() ** 2 / eb
+            )
+            diff = abs(a[:, :, j].mean() - b[:, :, j].mean())
+            assert diff < 5.0 * se + 0.05, (name, j, diff, se)
+    assert float(ess_bulk(np.asarray(p2['tau'], np.float64))) > 0.5 * \
+        float(ess_bulk(np.asarray(p1['tau'], np.float64)))
+
+    with pytest.raises(ValueError, match='spatial_sweeps'):
+        LogitICARGibbs(Q, W, X, y, spatial_sweeps=0)
+
+
 def test_probit_icar_iterative_solver_regimes():
     """The probit ICAR eta draw has three solver regimes (spectral /
     stencil / graph); the iterative ones must target the same posterior
