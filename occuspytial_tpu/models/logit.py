@@ -83,14 +83,16 @@ class LogitICARGibbs(GibbsBase):
         lattice=None, blocked=True, cg_impl=None, asis=True,
         asis_sd=1.2, asis_steps=12, asis_method='mh',
         solver_check_tol=0.2, graph_rank=64, graph_block='auto',
-        spatial_sweeps=2,
+        spatial_sweeps=None,
     ):
         if asis_method not in ('mh', 'slice'):
             raise ValueError(f'unknown asis_method: {asis_method!r}')
         self.asis_method = asis_method
-        self.spatial_sweeps = int(spatial_sweeps)
-        if self.spatial_sweeps < 1:
-            raise ValueError('spatial_sweeps must be >= 1')
+        if spatial_sweeps is not None:
+            spatial_sweeps = int(spatial_sweeps)
+            if spatial_sweeps < 1:
+                raise ValueError('spatial_sweeps must be >= 1')
+        self.spatial_sweeps = spatial_sweeps
         self.blocked = bool(blocked)
         self.solver_check_tol = (
             None if solver_check_tol is None else float(solver_check_tol)
@@ -163,6 +165,16 @@ class LogitICARGibbs(GibbsBase):
             # dense paths already carry at 25% less CG cost than 32
             cg_iters = 24 if self.solver == 'graph' else 15
         self.cg_iters = int(cg_iters)
+        if self.spatial_sweeps is None:
+            # measured policy (TPU): where the PG kernel dominates the
+            # step (dense/small-n regimes) a second spatial sub-sweep is
+            # nearly free and tau-binding — headline n=1000/cg 2637 ->
+            # 3551 ESS/s. Where the eta solve dominates (matrix-free
+            # large-n paths) it halves it/s for no worst-parameter gain
+            # (10k-site stencil: 341 -> 192 ESS/s, binding parameter is
+            # beta, not tau), so those default to a single sweep.
+            self.spatial_sweeps = 2 if self.solver in ('chol', 'cg') \
+                else 1
         self._needs_dense_q = self.solver not in ('stencil', 'graph')
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
@@ -737,6 +749,11 @@ class LogitRSRGibbs(LogitICARGibbs):
         # straight through to LogitICARGibbs.
         self._rsr_r = r
         self._rsr_q = q
+        # the RSR eta draw is a dense q-dimensional MVN — always cheap
+        # next to the PG kernel, so the sub-sweep default is 2
+        # regardless of what `solver` resolved to (that attribute
+        # reflects the never-used full-rank path here)
+        kwargs.setdefault('spatial_sweeps', 2)
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
             pg_method=pg_method, **kwargs,

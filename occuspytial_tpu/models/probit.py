@@ -76,10 +76,23 @@ class _ProbitBase(GibbsBase):
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, collapsed=True, px=True, px_sd=0.3,
         asis=True, asis_sd=1.0, asis_steps=12, asis_method='mh',
+        spatial_sweeps=None,
     ):
         if asis_method not in ('mh', 'slice'):
             raise ValueError(f'unknown asis_method: {asis_method!r}')
         self.asis_method = asis_method
+        # None = auto. Measured policy: sub-sweeps pay only where tau
+        # binds the worst-parameter ESS and the block is cheap — the
+        # small-n spectral ICAR regime (ProbitICARGibbs resolves that
+        # case to 6 before reaching here; bench config 2: 2932 -> 7732+
+        # ESS/s). For RSR the binding parameter is beta, whose
+        # autocorrelation flows through the utility draw, not the block
+        # (measured M=2: beta ESS flat, it/s down), so auto stays 1.
+        if spatial_sweeps is None:
+            spatial_sweeps = 1
+        self.spatial_sweeps = int(spatial_sweeps)
+        if self.spatial_sweeps < 1:
+            raise ValueError('spatial_sweeps must be >= 1')
         self.collapsed = bool(collapsed)
         self.px = bool(px)
         self.px_sd = float(px_sd)
@@ -102,6 +115,7 @@ class _ProbitBase(GibbsBase):
             ('asis_sd', self.asis_sd),
             ('asis_steps', self.asis_steps),
             ('asis_method', self.asis_method),
+            ('spatial_sweeps', self.spatial_sweeps),
         )
 
     def _eta_quad(self, eta, fixed):
@@ -321,8 +335,15 @@ class _ProbitBase(GibbsBase):
         """One Gibbs iteration. ``collapsed=False`` follows reference
         gibbs/probit.py:262-270 exactly; ``collapsed=True`` replaces the
         eps/eta/beta conditionals with the collapsed ladder
-        beta (eps, eta out) -> eta (eps out) -> eps (full conditional)."""
-        keys = jax.random.split(key, 8)
+        beta (eps, eta out) -> eta (eps out) -> eps (full conditional).
+
+        The (tau, beta/eta/eps ladder, PX, ASIS) block repeats
+        ``spatial_sweeps`` times per utility draw — the collapsed ladder
+        is an exact joint (beta, eta, eps) | (u, tau) redraw by
+        composition, and the PX/ASIS moves are invariant, so the repeat
+        composes exact moves of the same joint (same argument as
+        logit.py:_step)."""
+        keys = jax.random.split(key, 4)
         s = dict(state)
 
         omega_b = self._update_omega_b(keys[0], s, fixed)
@@ -336,34 +357,41 @@ class _ProbitBase(GibbsBase):
             s = self._px_scale_move(jax.random.fold_in(key, 104729), s,
                                     fixed, marginal=self.collapsed)
             omega_b = s['omega_b']
-        s['tau'] = self._update_tau(keys[1], s['eta'], fixed)
-        if self.collapsed:
-            s['beta'] = self._update_beta_collapsed(
-                keys[2], s, omega_b, s['tau'], fixed
-            )
-            s['eta'], s['spatial'] = self._update_eta_collapsed(
-                keys[3], s, omega_b, s['tau'], fixed
-            )
-            mean = 0.5 * (
-                omega_b - fixed['X'] @ s['beta'] - s['spatial']
-            )
-            s['eps'] = mean + jax.random.normal(
-                keys[4], (self.n,), self.dtype
-            ) / jnp.sqrt(jnp.asarray(2.0, self.dtype))
-        else:
-            s['eps'] = self._update_eps(keys[2], s, omega_b, fixed)
-            s['eta'], s['spatial'] = self._update_eta(
-                keys[3], s, omega_b, s['tau'], fixed
-            )
-            s['beta'] = self._update_beta(keys[4], s, omega_b, fixed)
-        if self.px:
-            s = self._px_scale_move(jax.random.fold_in(key, 7919), s,
-                                    fixed)
-        if self.asis:
-            s = self._asis_tau(jax.random.fold_in(key, 31337), s, fixed)
-        omega_a = self._update_omega_a(keys[5], s, fixed)
-        s['alpha'] = self._update_alpha(keys[6], s, omega_a, fixed)
-        s['z'] = self._update_z(keys[7], s, fixed)
+        for i in range(self.spatial_sweeps):
+            sub = jax.random.fold_in(key, i)
+            sks = jax.random.split(sub, 4)
+            s['tau'] = self._update_tau(sks[0], s['eta'], fixed)
+            if self.collapsed:
+                s['beta'] = self._update_beta_collapsed(
+                    sks[1], s, omega_b, s['tau'], fixed
+                )
+                s['eta'], s['spatial'] = self._update_eta_collapsed(
+                    sks[2], s, omega_b, s['tau'], fixed
+                )
+                mean = 0.5 * (
+                    omega_b - fixed['X'] @ s['beta'] - s['spatial']
+                )
+                s['eps'] = mean + jax.random.normal(
+                    sks[3], (self.n,), self.dtype
+                ) / jnp.sqrt(jnp.asarray(2.0, self.dtype))
+            else:
+                s['eps'] = self._update_eps(sks[1], s, omega_b, fixed)
+                s['eta'], s['spatial'] = self._update_eta(
+                    sks[2], s, omega_b, s['tau'], fixed
+                )
+                s['beta'] = self._update_beta(sks[3], s, omega_b, fixed)
+            if self.px:
+                s = self._px_scale_move(
+                    jax.random.fold_in(sub, 7919), s, fixed
+                )
+                omega_b = s['omega_b']
+            if self.asis:
+                s = self._asis_tau(
+                    jax.random.fold_in(sub, 31337), s, fixed
+                )
+        omega_a = self._update_omega_a(keys[1], s, fixed)
+        s['alpha'] = self._update_alpha(keys[2], s, omega_a, fixed)
+        s['z'] = self._update_z(keys[3], s, fixed)
         s['k'] = s['z'] - 0.5
         return s
 
@@ -556,6 +584,16 @@ class ProbitICARGibbs(_ProbitBase):
                     'or collapsed=False'
                 )
             kwargs['collapsed'] = False
+        if kwargs.get('spatial_sweeps') is None and solver == 'spectral':
+            n_sites = int(np.asarray(X).shape[0])
+            if n_sites <= 256:
+                # overhead-bound regime: the whole collapsed block is
+                # nearly free next to the per-step dispatch floor, and
+                # tau binds — tau pooled ESS scales ~linearly in the
+                # sweep count until beta catches up around M=8
+                # (measured 1024-chain n=100 TPU: M=1 2932, M=3 5318,
+                # M=6 7732, M=8 7992 ESS/s)
+                kwargs['spatial_sweeps'] = 6
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype, **kwargs
         )
