@@ -591,7 +591,15 @@ def main():
         if time.time() > deadline:
             log(f'budget exhausted ({budget:.0f}s); skipping config '
                 f'{which} and the rest')
-            detail[slot] = {'config': which, 'skipped': 'budget'}
+            if prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0:
+                # keep the last committed measurement rather than
+                # dropping the row — a budget skip is not a failure
+                detail[slot] = dict(
+                    prior[slot], stale=True, skipped='budget'
+                )
+            else:
+                detail[slot] = {'config': which, 'skipped': 'budget'}
+            flush_detail()
             continue
         res = run_subprocess_config(which, deadline=deadline)
         if 'ess_per_sec' not in res and (
