@@ -166,15 +166,19 @@ class LogitICARGibbs(GibbsBase):
             cg_iters = 24 if self.solver == 'graph' else 15
         self.cg_iters = int(cg_iters)
         if self.spatial_sweeps is None:
-            # measured policy (TPU): where the PG kernel dominates the
-            # step (dense/small-n regimes) a second spatial sub-sweep is
-            # nearly free and tau-binding — headline n=1000/cg 2637 ->
-            # 3551 ESS/s. Where the eta solve dominates (matrix-free
-            # large-n paths) it halves it/s for no worst-parameter gain
-            # (10k-site stencil: 341 -> 192 ESS/s, binding parameter is
-            # beta, not tau), so those default to a single sweep.
-            self.spatial_sweeps = 2 if self.solver in ('chol', 'cg') \
-                else 1
+            # measured policy (TPU), per solver regime. 'cg' (mid-size
+            # n, tau-binding): 3 sub-sweeps — seed-robust optimum on the
+            # headline n=1000 config (M=2/3/4 mean ESS/s 4190/4860/4264
+            # over seeds 7-9; M=3 wins every seed). 'chol' (small n):
+            # 2 — the binding parameter there is on the detection side,
+            # so a third spatial sweep only pays cost (n=100 single
+            # chain: M=2 176 ESS/s, M=3 106-117). Matrix-free large-n
+            # paths ('stencil'/'graph', eta solve dominates): 1 — extra
+            # sweeps halve it/s for no worst-parameter gain (10k-site
+            # stencil: 341 -> 192 ESS/s, beta-binding).
+            self.spatial_sweeps = {'cg': 3, 'chol': 2}.get(
+                self.solver, 1
+            )
         self._needs_dense_q = self.solver not in ('stencil', 'graph')
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,
@@ -752,7 +756,11 @@ class LogitRSRGibbs(LogitICARGibbs):
         # the RSR eta draw is a dense q-dimensional MVN — always cheap
         # next to the PG kernel, so the sub-sweep default is 2
         # regardless of what `solver` resolved to (that attribute
-        # reflects the never-used full-rank path here)
+        # reflects the never-used full-rank path here). Unlike the
+        # full-rank cg regime (auto 3), a third sweep does NOT pay in
+        # the reduced basis: measured n=1000/q=100/64 chains, M=2
+        # 4810 ESS/s vs M=3 3388 with min pooled ESS flat (36.1k vs
+        # 35.8k) — the binding parameter is not tau here
         kwargs.setdefault('spatial_sweeps', 2)
         super().__init__(
             Q, W, X, y, hparams, random_state, dtype=dtype,

@@ -1,0 +1,113 @@
+"""One-off headline tuning probe: kernel knobs on the config-4 problem.
+
+Measures min-pooled-ESS/sec on the exact headline dataset/protocol
+(bench.py HEAD) for a few sampler variants that leave the posterior
+untouched (rng stream implementation, spatial sub-sweep count). Each
+variant runs in its own subprocess — the tunneled TPU runtime tolerates
+~2 sampling runs per process (see bench.py:bench_config).
+
+Usage: python scripts/headline_tune.py            # sweep
+       python scripts/headline_tune.py NAME       # worker mode
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+VARIANTS = {
+    'base': {},
+    'rbg': {'rng_impl': 'rbg'},
+    'sweeps3': {'spatial_sweeps': 3},
+    'sweeps4': {'spatial_sweeps': 4},
+}
+
+#: sweep mode: variant x seed grid ("VARIANT:SEED" worker args)
+SWEEP = [
+    f'{v}:{s}'
+    for v in ('base', 'sweeps3', 'sweeps4')
+    for s in (7, 8, 9)
+]
+
+
+def run_variant(name):
+    import jax
+
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '.jax_cache'),
+    )
+    import numpy as np
+
+    from bench import HEAD, min_ess_per_param
+    from occuspytial_tpu import LogitICARGibbs
+    from occuspytial_tpu.utils import make_data
+
+    name, _, seed = name.partition(':')
+    seed = int(seed) if seed else HEAD['seed']
+    Q, W, X, y, *_ = make_data(
+        n=HEAD['n'], ns=HEAD['ns'], p=HEAD['p'], q=HEAD['q'],
+        min_v=HEAD['min_v'], max_v=HEAD['max_v'],
+        random_state=HEAD['seed'],
+    )
+    opts = dict(VARIANTS[name])
+    rng_impl = opts.pop('rng_impl', None)
+    s = LogitICARGibbs(Q, W, X, y, random_state=seed, **opts)
+    if rng_impl:
+        s.rng_impl = rng_impl
+    s.scan_chunk = HEAD['size']
+    s.sample(HEAD['size'], chains=HEAD['chains'], progressbar=False)
+    t0 = time.time()
+    post = s.sample(
+        HEAD['size'], burnin=HEAD['burnin'], chains=HEAD['chains'],
+        progressbar=False,
+    )
+    wall = time.time() - t0
+    ess = min_ess_per_param(post.data)
+    print(json.dumps({
+        'variant': name,
+        'seed': seed,
+        'it_per_sec': round(HEAD['size'] / wall, 1),
+        'min_pooled_ess': round(ess, 1),
+        'ess_per_sec': round(ess / wall, 1),
+        'beta_mean': np.round(
+            post['beta'].mean(axis=(0, 1)), 4
+        ).tolist(),
+    }), flush=True)
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in SWEEP:
+        for attempt in range(2):
+            try:
+                r = subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, 'headline_tune.py'), name],
+                    capture_output=True, text=True, timeout=420,
+                )
+            except subprocess.TimeoutExpired:
+                # a wedged device-tunnel session: skip to a fresh process
+                sys.stderr.write(f'{name}: attempt {attempt} timed out\n')
+                continue
+            out = r.stdout.strip().splitlines()
+            if r.returncode == 0 and out:
+                print(out[-1], flush=True)
+                break
+            sys.stderr.write(
+                f'{name}: attempt {attempt} rc={r.returncode}\n'
+                f'{r.stderr[-500:]}\n'
+            )
+
+
+if __name__ == '__main__':
+    if len(sys.argv) > 1:
+        run_variant(sys.argv[1])
+    else:
+        main()
