@@ -468,6 +468,13 @@ class GibbsBase:
         try:
             for i, ln in enumerate(lengths):
                 carry, out = run(carry[0], carry[1], self.fixed, size=ln)
+                if self.track:
+                    # move each chunk's draws to host immediately —
+                    # otherwise every chunk's device output stays alive
+                    # in ``outs`` until the run ends and the auto-chunk
+                    # output budget would bound nothing. Scalar-only
+                    # outputs are negligible and stay lazy.
+                    out = {k: np.asarray(v) for k, v in out.items()}
                 outs.append(out)
                 if bar is not None:
                     _force_completion(out)
@@ -531,7 +538,8 @@ class GibbsBase:
                 )
             keep = max(int(total * (1.0 - discard_frac)), 4)
             window = {k: v[:, -keep:] for k, v in acc.items()}
-            worst_name, worst_rhat, worst_ess = None, 0.0, np.inf
+            worst_name, worst_rhat = None, 0.0
+            worst_ess_name, worst_ess = None, np.inf
             for name, arr in window.items():
                 scalar = arr.ndim == 2
                 cols = arr[..., None] if scalar else arr
@@ -541,17 +549,18 @@ class GibbsBase:
                     e = float(dg.ess_bulk(cols[:, :, j]))
                     if r > worst_rhat:
                         worst_name, worst_rhat = label, r
-                    worst_ess = min(worst_ess, e)
+                    if e < worst_ess:
+                        worst_ess_name, worst_ess = label, e
             ok_rhat = rhat_tol is None or worst_rhat <= rhat_tol
             ok_ess = min_ess is None or worst_ess >= min_ess
             if ok_rhat and ok_ess:
                 return PosteriorParameter(window)
             if total >= max_size:
                 raise RuntimeError(
-                    f'no convergence after {total} draws: worst '
-                    f'{worst_name} has r_hat {worst_rhat:.4f} '
-                    f'(tol {rhat_tol}), min pooled ess_bulk '
-                    f'{worst_ess:.0f} (need {min_ess})'
+                    f'no convergence after {total} draws: worst r_hat '
+                    f'{worst_rhat:.4f} on {worst_name} (tol {rhat_tol}), '
+                    f'min pooled ess_bulk {worst_ess:.0f} on '
+                    f'{worst_ess_name} (need {min_ess})'
                 )
 
     def copy(self):

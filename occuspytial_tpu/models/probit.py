@@ -343,7 +343,12 @@ class _ProbitBase(GibbsBase):
         composition, and the PX/ASIS moves are invariant, so the repeat
         composes exact moves of the same joint (same argument as
         logit.py:_step)."""
-        keys = jax.random.split(key, 4)
+        # one split covers the four fixed conditionals AND the per-sweep
+        # subkeys. Never derive the sweep keys with fold_in(key, i): jax
+        # defines split(key, n)[i] == fold_in(key, i), so that would
+        # alias sweep i's randomness with keys[i] (sweep 0 would reuse
+        # the utility draw's key) and silently correlate conditionals
+        keys = jax.random.split(key, 4 + self.spatial_sweeps)
         s = dict(state)
 
         omega_b = self._update_omega_b(keys[0], s, fixed)
@@ -358,7 +363,7 @@ class _ProbitBase(GibbsBase):
                                     fixed, marginal=self.collapsed)
             omega_b = s['omega_b']
         for i in range(self.spatial_sweeps):
-            sub = jax.random.fold_in(key, i)
+            sub = keys[4 + i]
             sks = jax.random.split(sub, 4)
             s['tau'] = self._update_tau(sks[0], s['eta'], fixed)
             if self.collapsed:

@@ -17,8 +17,16 @@ class BaseStorage:
         object.__setattr__(self, '_entries', dict(entries))
 
     def __getattr__(self, name):
+        # fetch the store without re-entering __getattr__: during
+        # unpickling/deepcopy the protocol probes dunder attributes
+        # (e.g. __setstate__) before __init__ has run, when _entries
+        # does not exist yet — self._entries here would recurse forever
         try:
-            return self._entries[name]
+            entries = object.__getattribute__(self, '_entries')
+        except AttributeError:
+            raise AttributeError(name) from None
+        try:
+            return entries[name]
         except KeyError:
             raise AttributeError(name) from None
 

@@ -106,6 +106,15 @@ def build(Q, deflate=64, dtype=np.float32, block='auto'):
             'Q must have non-positive off-diagonal entries '
             '(CAR/ICAR precision form)'
         )
+    # symmetry is load-bearing, not cosmetic: matvec uses the rows as
+    # given, noise() factors only the upper triangle (B B' = sym(Q)),
+    # and the banded layout mirrors the sub-diagonal — an asymmetric Q
+    # (e.g. a one-sided adjacency list) would feed three mutually
+    # inconsistent operators into the sampler with no error
+    q_csr = q.tocsr()
+    asym = abs(q_csr - q_csr.T)
+    if asym.nnz and asym.max() > 1e-8 * max(1.0, abs(q_csr).max()):
+        raise ValueError('Q must be symmetric')
     diag = np.zeros(n)
     np.add.at(diag, q.row[~off], q.data[~off])
 

@@ -126,7 +126,13 @@ def _propose_once(key, c, ratio, k_exp, committed, is_exp):
 
     Returns ``(x, accepted, committed', is_exp')``.
     """
-    ku, ke1, ke2, kig, kacc, kv = jax.random.split(key, 6)
+    # every consumer gets its own subkey. Deriving extras from a subkey
+    # already passed to a sampling primitive (e.g. fold_in(kv, 1) after
+    # normal(kv, shape)) is NOT safe: fold_in(k, i) == split(k, n)[i]
+    # and split shares the key's counter stream with random_bits, so the
+    # derived key would equal the raw bits behind lanes 2-3 of the
+    # earlier draw, correlating the two streams on those lanes
+    ku, ke1, ke2, kig, kacc, kv, kflip, kseries = jax.random.split(key, 8)
     shape = c.shape
     dt = c.dtype
 
@@ -153,7 +159,7 @@ def _propose_once(key, c, ratio, k_exp, committed, is_exp):
     y0 = jax.random.normal(kv, shape, dt) ** 2
     mu_y = mu * y0
     x_ig = mu + 0.5 * mu * (mu_y - jnp.sqrt(4.0 * mu_y + mu_y * mu_y))
-    u_flip = jax.random.uniform(jax.random.fold_in(kv, 1), shape, dt)
+    u_flip = jax.random.uniform(kflip, shape, dt)
     x_ig = jnp.where(u_flip <= mu / (mu + x_ig), x_ig, mu * mu / x_ig)
     ok_ig = x_ig <= _T
 
@@ -165,7 +171,7 @@ def _propose_once(key, c, ratio, k_exp, committed, is_exp):
     valid = is_exp | ok_body
 
     # --- series acceptance test (only meaningful for valid proposals) ---
-    v = jax.random.uniform(jax.random.fold_in(kacc, 1), shape, dt)
+    v = jax.random.uniform(kseries, shape, dt)
     accepted = valid & _series_accept(x, v)
 
     # invalid body proposal -> stay committed to the body branch;

@@ -64,8 +64,8 @@ def shard_sampler_2d(sampler, carry, mesh):
     n_site_shards = mesh.shape['sites']
     if n % n_site_shards or (rows is not None and rows % n_site_shards):
         raise ValueError(
-            f'site count {n} (lattice rows {rows}) must divide the '
-            f"'sites' mesh extent {n_site_shards}"
+            f"the 'sites' mesh extent {n_site_shards} must divide the "
+            f'site count {n} (and the lattice rows {rows})'
         )
 
     def put(leaf, spec):

@@ -69,6 +69,15 @@ def test_build_rejects_invalid_precisions():
     bad2 = np.array([[0.5, -1.0], [-1.0, 0.5]])
     with pytest.raises(ValueError, match='exceeds'):
         graph.build(bad2)
+    # asymmetric (one-sided adjacency): matvec/noise/banded panels would
+    # silently disagree about which operator they represent
+    bad3 = np.array([
+        [2.0, -1.0, 0.0],
+        [0.0, 2.0, -1.0],
+        [0.0, 0.0, 2.0],
+    ])
+    with pytest.raises(ValueError, match='symmetric'):
+        graph.build(bad3)
 
 
 @pytest.mark.parametrize('rho', [1.0, 0.7])
