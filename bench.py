@@ -176,7 +176,11 @@ def bench_config(name, sampler, size, burnin, chains, retries=2):
     last = None
     for attempt in range(retries + 1):
         try:
+            log(f'{name}: warmup run (compile + dispatch)…')
+            t_w = time.time()
             sampler.sample(size, chains=chains, progressbar=False)
+            log(f'{name}: warmup done in {time.time() - t_w:.1f}s; '
+                f'timed run…')
             t0 = time.time()
             post = sampler.sample(size, burnin=burnin, chains=chains,
                                   progressbar=False)
@@ -242,13 +246,33 @@ def measure_floor_config(name, sampler_factory, chains, size, burnin):
 
 
 def run_one(which):
-    """Run a single config in this process; print its JSON result."""
+    """Run a single config in this process; print its JSON result.
+
+    Every stage logs a timestamped line to stderr: when an attempt is
+    killed by the parent's watchdog, the captured tail says WHERE the
+    time went (import / backend init / floor / construction / compile /
+    timed run) instead of leaving a 629-second mystery like round 2's
+    config 1 (VERDICT r2 weak #1).
+    """
+    t0 = time.time()
+
+    def stage(msg):
+        log(f'[config {which} +{time.time() - t0:6.1f}s] {msg}')
+
+    stage('importing jax')
     import jax
 
     jax.config.update('jax_compilation_cache_dir',
                       os.path.join(HERE, '.jax_cache'))
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    stage('initializing backend (first device contact)')
+    try:
+        ndev = len(jax.devices())
+        stage(f'backend up: {ndev} device(s), '
+              f'{jax.devices()[0].platform}')
+    except Exception as exc:  # keep going; sampling will surface it
+        stage(f'device query failed: {exc!r}')
 
     from occuspytial_tpu import (
         LogitICARGibbs,
@@ -434,7 +458,44 @@ def run_one(which):
     print('RESULT ' + json.dumps(res))
 
 
-def run_subprocess_config(which, attempts=2, best_of=1, deadline=None):
+#: time.time() of the last successful tunnel ping; a success within
+#: the last 60 s short-circuits the next probe (each probe costs ~10 s
+#: of jax import + backend init even when healthy)
+_LAST_GOOD_PING = 0.0
+
+
+def tunnel_ping(timeout=45.0):
+    """Cheap liveness probe of the tunneled TPU runtime.
+
+    Round 2's config 1 burned 629 s on ONE wedged attempt whose model
+    samples in 1.2 s — the tunneled backend can hang a process on its
+    first device sync. A 2-line subprocess that adds two scalars on
+    device detects that state in ``timeout`` seconds for pennies, so
+    the expensive measurement attempt is only launched into a live
+    tunnel.
+    """
+    import subprocess
+
+    global _LAST_GOOD_PING
+    if time.time() - _LAST_GOOD_PING < 60.0:
+        return True
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c',
+             'import jax, jax.numpy as jnp;'
+             'print((jnp.ones(()) + 1).item())'],
+            capture_output=True, text=True, timeout=timeout, cwd=HERE,
+        )
+        ok = proc.returncode == 0 and '2.0' in proc.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    if ok:
+        _LAST_GOOD_PING = time.time()
+    return ok
+
+
+def run_subprocess_config(which, attempts=2, best_of=1, deadline=None,
+                          attempt_cap=300.0):
     """Run one config in fresh processes (isolates transient TPU
     runtime faults); retry with a brand-new process on failure.
 
@@ -444,6 +505,11 @@ def run_subprocess_config(which, attempts=2, best_of=1, deadline=None):
     sensitive, while the draws themselves are seed-deterministic.
     ``deadline``: absolute time.time() after which no further process
     is launched (already-collected successes are still returned).
+    ``attempt_cap``: hard per-attempt watchdog. Every config's
+    *successful* subprocess costs well under 200 s (measured round 2/3:
+    1-8 s timed run + <90 s cold compile + cached floor), so a single
+    attempt is never allowed the whole remaining budget again (round-2
+    failure: one wedged attempt got 629 s and starved configs 2-5g).
     """
     import subprocess
 
@@ -455,12 +521,15 @@ def run_subprocess_config(which, attempts=2, best_of=1, deadline=None):
             log(f'config {which}: budget deadline reached after '
                 f'{attempt} attempt(s)')
             break
-        # per-attempt watchdog well under the driver's whole-run budget:
-        # the tunneled TPU runtime can wedge a process indefinitely (its
-        # first device sync never returns while the server session is
-        # stuck); kill the attempt and retry in a fresh process rather
-        # than letting one hung attempt consume the entire bench budget
-        attempt_timeout = 900.0
+        if not tunnel_ping():
+            # wedged tunnel: poll cheaply instead of burning a full
+            # attempt watchdog on a process that will hang at first sync
+            log(f'config {which}: tunnel ping failed; '
+                f'waiting 15s before retry')
+            last = {'config': which, 'error': 'tunnel ping failed'}
+            time.sleep(15)
+            continue
+        attempt_timeout = float(attempt_cap)
         if deadline is not None:
             attempt_timeout = min(
                 attempt_timeout, max(60.0, deadline - time.time())
@@ -485,6 +554,8 @@ def run_subprocess_config(which, attempts=2, best_of=1, deadline=None):
         if parsed is not None and 'error' not in parsed:
             log(f'{parsed.get("config", which)}: '
                 f'{parsed.get("ess_per_sec")} ESS/sec')
+            global _LAST_GOOD_PING
+            _LAST_GOOD_PING = time.time()  # tunnel proven alive
             successes.append(parsed)
             if len(successes) >= best_of:
                 break
@@ -598,14 +669,20 @@ def main():
             json.dump(dict(head, metric=METRIC_TAG), fh, indent=1)
 
     # ---- detail configs, budget-gated --------------------------------- #
-    for slot, which in (
+    # each remaining config gets a fair SLICE of the remaining budget
+    # (not first-come-first-served: round 2's config 1 consumed the
+    # whole tail and starved 2/2b/3/5/5g). A config that finishes early
+    # donates its leftover slice to the ones after it; a config that
+    # exhausts its slice is cut off there.
+    slots = [
         ('1_logit_icar_100site_1chain', '1'),
         ('2_probit_icar_100site', '2'),
         ('2b_probit_rsr_100site', '2b'),
         ('3_logit_rsr_1000site', '3'),
         ('5_logit_icar_10000site_stencil', '5'),
         ('5g_logit_icar_10000site_graph', '5g'),
-    ):
+    ]
+    for i, (slot, which) in enumerate(slots):
         if time.time() > deadline:
             log(f'budget exhausted ({budget:.0f}s); skipping config '
                 f'{which} and the rest')
@@ -619,7 +696,15 @@ def main():
                 detail[slot] = {'config': which, 'skipped': 'budget'}
             flush_detail()
             continue
-        res = run_subprocess_config(which, deadline=deadline)
+        n_left = len(slots) - i
+        slice_s = max(90.0, (deadline - time.time()) / n_left)
+        config_deadline = min(deadline, time.time() + slice_s)
+        log(f'config {which}: budget slice {slice_s:.0f}s '
+            f'({n_left} configs left)')
+        res = run_subprocess_config(
+            which, attempts=3, deadline=config_deadline,
+            attempt_cap=max(60.0, slice_s - 10.0),
+        )
         if 'ess_per_sec' not in res and (
                 prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0
                 and not prior[slot].get('stale')):

@@ -415,6 +415,11 @@ class GibbsBase:
     ):
         """Draw posterior samples (API of reference gibbs/base.py:243-291).
 
+        ``progressbar`` accepts True (one aggregate bar), False, or
+        ``'per-chain'`` (one positioned tqdm row per chain, the
+        reference's multi-chain display; rows tick in lockstep because
+        the chains share one compiled scan).
+
         Returns a :class:`~occuspytial_tpu.posterior.PosteriorParameter`
         over parameters ('alpha', 'beta', 'tau') with per-chain arrays of
         shape (chains, size - burnin[, dim]). After the call,
@@ -438,7 +443,13 @@ class GibbsBase:
         else:
             run_keys, state0 = self.init_carry(chains, start)
 
-        bar = None
+        # progressbar=True: one aggregate bar. progressbar='per-chain':
+        # one positioned row per chain (the reference gives each joblib
+        # worker its own tqdm position, gibbs/parallel.py:38-41 /
+        # gibbs/base.py:222-224); here every chain lives in the same
+        # compiled SPMD scan, so the rows advance in lockstep — which is
+        # also the truth.
+        bars = []
         if progressbar:
             try:
                 from tqdm.auto import tqdm
@@ -451,7 +462,14 @@ class GibbsBase:
                     stacklevel=2,
                 )
             else:
-                bar = tqdm(total=size)
+                n_chains = jnp.shape(run_keys)[0]
+                if progressbar == 'per-chain' and n_chains > 1:
+                    bars = [
+                        tqdm(total=size, position=i, desc=f'chain {i}')
+                        for i in range(n_chains)
+                    ]
+                else:
+                    bars = [tqdm(total=size)]
 
         # All sampling runs as repeats of one fixed-length compiled scan
         # (resumed from the carried per-chain keys, so the result is
@@ -460,7 +478,7 @@ class GibbsBase:
         # never changes the draws; a trailing remainder chunk (compiled
         # once per distinct remainder) keeps ``final_carry`` exactly at
         # iteration ``size`` for resumption.
-        chunk = self._resolve_chunk(size, bar is not None, state0)
+        chunk = self._resolve_chunk(size, bool(bars), state0)
         lengths = [chunk] * (size // chunk)
         if size % chunk:
             lengths.append(size % chunk)
@@ -476,9 +494,10 @@ class GibbsBase:
                     # outputs are negligible and stay lazy.
                     out = {k: np.asarray(v) for k, v in out.items()}
                 outs.append(out)
-                if bar is not None:
+                if bars:
                     _force_completion(out)
-                    bar.update(ln)
+                    for bar in bars:
+                        bar.update(ln)
                 elif (i + 1) % 4 == 0:
                     # bound the async in-flight dispatch queue: tunneled
                     # TPU runtimes reject new executions past a queue
@@ -486,7 +505,7 @@ class GibbsBase:
                     # chunks deep at n=1600)
                     _force_completion(out)
         finally:
-            if bar is not None:
+            for bar in bars:
                 bar.close()
 
         #: resumable end-of-run carry (see docstring)

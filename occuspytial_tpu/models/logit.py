@@ -83,8 +83,22 @@ class LogitICARGibbs(GibbsBase):
         lattice=None, blocked=True, cg_impl=None, asis=True,
         asis_sd=1.2, asis_steps=12, asis_method='mh',
         solver_check_tol=0.2, graph_rank=64, graph_block='auto',
-        spatial_sweeps=None,
+        spatial_sweeps=None, eig_dtype=None,
     ):
+        if eig_dtype is None:
+            # storage dtype of the spectral-CG eigenbasis. The CG's
+            # matmuls already run at the TPU default one-pass-bf16
+            # precision (ops/cg.py), so bfloat16 STORAGE is numerically
+            # the same rounding — but the solver is HBM-bound on
+            # re-streaming this n x n matrix (~100x per Gibbs step at
+            # n=1000), so halving its bytes buys real wall time
+            # (measured: see ops/cg.py:_mm). On CPU (the test lane)
+            # matmuls are genuine f32, so keep full precision there.
+            eig_dtype = (
+                jnp.bfloat16 if jax.default_backend() == 'tpu'
+                and dtype == jnp.float32 else dtype
+            )
+        self.eig_dtype = jnp.dtype(eig_dtype)
         if asis_method not in ('mh', 'slice'):
             raise ValueError(f'unknown asis_method: {asis_method!r}')
         self.asis_method = asis_method
@@ -220,7 +234,7 @@ class LogitICARGibbs(GibbsBase):
         self.fixed['sqrt_factor'] = sqrt_factor
         if self.solver == 'cg':
             self.fixed['q_eigvals'] = s_eig
-            self.fixed['q_eigvecs'] = u_eig
+            self.fixed['q_eigvecs'] = jnp.asarray(u_eig, self.eig_dtype)
 
     def _pg(self, key, z):
         if self.pg_method == 'gamma':
@@ -272,7 +286,8 @@ class LogitICARGibbs(GibbsBase):
 
                 sol = icar_cg_solve_fused(
                     rhs, warm, omega, tau,
-                    fixed['q_eigvecs'], fixed['q_eigvals'], self.cg_iters,
+                    fixed['q_eigvecs'].astype(self.dtype),
+                    fixed['q_eigvals'], self.cg_iters,
                 )
                 return sol, sol
             from ..ops.cg import icar_cg_solve_spectral
@@ -681,11 +696,12 @@ class LogitICARGibbs(GibbsBase):
         moves of the same joint (omega is an auxiliary coordinate — its
         conditional does not need refreshing between them), so the
         kernel stays invariant. tau is the chain's worst-mixing
-        parameter and the PG kernel ~45% of the step cost, so a second
-        nearly-free sub-sweep buys disproportionate tau decorrelation:
-        measured on the headline config (n=1000, 64 chains, TPU),
-        sweeps=2 lifts min pooled ESS/s 2637 -> ~3870 (+47%, robust
-        across seeds 7/8/9); sweeps=3/4 trade evenly (flat optimum).
+        parameter and the PG kernel ~45% of the step cost, so extra
+        nearly-free sub-sweeps buy disproportionate tau decorrelation.
+        The default is a measured per-regime policy — see the
+        ``spatial_sweeps`` parameter documentation in ``__init__`` (the
+        single source of truth): cg 3 (4190/4860/4264 ESS/s for M=2/3/4,
+        M=3 wins every seed), chol 2.
         """
         m = self.spatial_sweeps
         keys = jax.random.split(key, 3 + 4 * m)

@@ -93,6 +93,24 @@ def icar_cg_solve(rhs, x0, omega, tau, q_dense, eigvecs, eigvals, iters):
     return pcg(matvec, precond, rhs, x0, iters)
 
 
+def _mm(v, mat):
+    """``v @ mat`` with the vector side cast to the matrix dtype and a
+    float32 accumulator.
+
+    When ``mat`` is stored bfloat16 this is numerically identical to the
+    float32 matmul under the TPU's default (one-pass bf16) precision —
+    both round each operand to bfloat16 per pass and accumulate f32 on
+    the MXU — but the HBM read of the matrix is HALF the bytes. The
+    spectral CG is HBM-bound on exactly those reads (~100 re-streams of
+    the n x n eigenbasis per Gibbs step at the headline size), so the
+    storage dtype, not the math, is the lever. With an f32 ``mat`` this
+    reduces to the plain matmul.
+    """
+    return jnp.matmul(
+        v.astype(mat.dtype), mat, preferred_element_type=v.dtype
+    )
+
+
 def icar_cg_solve_spectral(
     rhs, warm_spec, omega, tau, eigvecs, eigvals, iters
 ):
@@ -112,17 +130,20 @@ def icar_cg_solve_spectral(
     per solve the only extras are one in-transform of ``rhs`` and one
     out-transform of the solution.
 
+    ``eigvecs`` may be stored bfloat16 (see :func:`_mm`): same per-pass
+    rounding as the default TPU matmul precision, half the HBM traffic.
+
     Returns ``(x_site, x_spec)``.
     """
     cbar = jnp.mean(omega)
     dinv = 1.0 / (tau * eigvals + cbar)
-    b_spec = rhs @ eigvecs
+    b_spec = _mm(rhs, eigvecs)
 
     def matvec(v):
-        return tau * eigvals * v + (omega * (v @ eigvecs.T)) @ eigvecs
+        return tau * eigvals * v + _mm(omega * _mm(v, eigvecs.T), eigvecs)
 
     def precond(r):
         return dinv * r
 
     x_spec = pcg(matvec, precond, b_spec, warm_spec, iters)
-    return x_spec @ eigvecs.T, x_spec
+    return _mm(x_spec, eigvecs.T), x_spec

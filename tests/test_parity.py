@@ -148,6 +148,61 @@ def test_float64_lane_bounds_f32_bias():
 
 
 @pytest.mark.slow
+def test_probit_icar_posterior_means_match_floor(dataset):
+    """ProbitICARGibbs parity vs its independent CPU floor (VERDICT r2
+    #3/#6).
+
+    ``NumpyProbitICAR`` (benchmarks/reference_floor.py) implements the
+    reference's probit algorithm family (gibbs/probit.py:27-270) with a
+    full-rank constrained ICAR eta conditional — an independent numpy
+    code path. Every eta regime of the rebuild must land on the same
+    posterior: the collapsed (beta, eta, eps) ladder (the benchmark's
+    config 2), the reference-ordered kernel, and both iterative solvers
+    (stencil / banded graph CG). This replaces the self-referential
+    spectral cross-check as the family's only statistical evidence.
+    """
+    import scipy.sparse as sps
+
+    from occuspytial_tpu import ProbitICARGibbs
+    from occuspytial_tpu.ops.icar import lattice_precision
+    from benchmarks.reference_floor import NumpyProbitICAR
+
+    Q, W, X, y, *_ = dataset
+
+    floor = NumpyProbitICAR(Q, W, X, y, random_state=3)
+    out_floor = floor.run(SIZE, burnin=BURNIN)
+
+    # recover the dataset's lattice for the stencil regime (make_data
+    # contract: Q is a queen lattice over a random factorization of n)
+    qs = sps.csr_matrix(Q)
+    n = X.shape[0]
+    lat = next(
+        (r_, n // r_, 8)
+        for r_ in range(3, n + 1)
+        if n % r_ == 0 and (
+            sps.csr_matrix(lattice_precision(r_, n // r_, 8)) != qs
+        ).nnz == 0
+    )
+
+    variants = [
+        ('collapsed', dict(collapsed=True)),
+        ('reference-ordered', dict(collapsed=False)),
+        ('stencil', dict(lattice=lat)),
+        ('graph', dict(solver='graph')),
+    ]
+    for label, kw in variants:
+        q_in = sps.csr_matrix(Q) if kw.get('solver') == 'graph' else Q
+        s = ProbitICARGibbs(q_in, W, X, y, random_state=4, **kw)
+        post = s.sample(
+            SIZE, burnin=BURNIN, chains=CHAINS, progressbar=False
+        )
+        try:
+            _assert_mean_parity(post, out_floor, floor_tol=0.08)
+        except AssertionError as exc:
+            raise AssertionError(f'variant {label}: {exc}') from exc
+
+
+@pytest.mark.slow
 def test_probit_rsr_posterior_means_match_floor(dataset):
     """Probit parity vs the reference algorithm's floor.
 

@@ -158,6 +158,17 @@ def test_progressbar_output(capfd):
     assert '10/10' in captured.err
 
 
+def test_per_chain_progressbar_rows(capfd):
+    """progressbar='per-chain' renders one positioned row per chain
+    (reference gibbs/parallel.py:38-41), ticking in lockstep."""
+    s = LogitRSRGibbs(Q, W, X, y, random_state=1)
+    s.sample(10, chains=3, progressbar='per-chain')
+    captured = capfd.readouterr()
+    for i in range(3):
+        assert f'chain {i}' in captured.err
+    assert captured.err.count('10/10') >= 3
+
+
 def test_turning_off_progressbar(capfd):
     s = LogitRSRGibbs(Q, W, X, y, random_state=1)
     s.sample(10, chains=1, progressbar=False)
