@@ -25,12 +25,21 @@ VARIANTS = {
     'rbg': {'rng_impl': 'rbg'},
     'sweeps3': {'spatial_sweeps': 3},
     'sweeps4': {'spatial_sweeps': 4},
+    # CG-budget ladder (bf16 eigenbasis): the solver is ~50% of the
+    # step (profile_step: default 942 it/s, cg8 1187 it/s), so a
+    # smaller warm-started budget buys it/s directly IF the draws stay
+    # unbiased — the sweep z-checks beta means against base.
+    'cg12': {'cg_iters': 12},
+    'cg10': {'cg_iters': 10},
+    'cg8': {'cg_iters': 8},
+    'cg8s4': {'cg_iters': 8, 'spatial_sweeps': 4},
+    'cg10s4': {'cg_iters': 10, 'spatial_sweeps': 4},
 }
 
 #: sweep mode: variant x seed grid ("VARIANT:SEED" worker args)
 SWEEP = [
     f'{v}:{s}'
-    for v in ('base', 'sweeps3', 'sweeps4')
+    for v in ('base', 'cg8', 'cg10', 'cg8s4')
     for s in (7, 8, 9)
 ]
 
@@ -83,9 +92,20 @@ def run_variant(name):
 
 
 def main():
+    from bench import tunnel_ping
+
     here = os.path.dirname(os.path.abspath(__file__))
     for name in SWEEP:
         for attempt in range(2):
+            # a wedged relay hangs a worker at first device sync and
+            # the watchdog kill then wedges the relay FURTHER (killed
+            # claims drain slowly) — probe with a tiny ping first and
+            # wait out the drain instead of feeding it more corpses
+            waited = 0
+            while not tunnel_ping() and waited < 900:
+                sys.stderr.write(f'{name}: tunnel wedged; waiting 30s\n')
+                time.sleep(30)
+                waited += 75
             try:
                 r = subprocess.run(
                     [sys.executable,
