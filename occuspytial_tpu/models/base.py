@@ -259,7 +259,32 @@ class GibbsBase:
         )
 
     def _init_common(self, key, fixed):
-        """Default random start (reference gibbs/base.py:199-212)."""
+        """Default random start (reference gibbs/base.py:199-212, with
+        the regression starts moderated — see below).
+
+        The reference draws alpha/beta ~ MVN(mu, 100 * prec) *treating
+        the precision as a covariance* (gibbs/base.py:206-211) — at the
+        default prec = I/10 that is sd ~ 3.2 per component, so ~1 chain
+        in 7 starts with some |beta_j| > 6 and a fully SATURATED linear
+        predictor. Saturation is metastable for every PG-Gibbs kernel
+        (ours and the reference's): omega ~ PG(1, |huge|) ~ 0, so the
+        eta draw's conditional k/omega explodes, eta'Q eta blows up,
+        tau crashes, and the chain can sit in this negligible-mass
+        region for thousands of iterations (measured 2026-08-20:
+        chain 17 of the cg10/seed-9 headline run started at
+        beta[1] = -8.62, spent the whole run at tau ~ 1e-3 .. 700 with
+        per-chain ESS 6, and single-handedly collapsed the pooled
+        64-chain min-ESS from ~14k to 793). The default start here
+        therefore draws alpha/beta ~ N(mu, I) — still overdispersed
+        relative to a typical posterior (sd ~ 0.1) so split-R-hat keeps
+        its power, but nowhere near saturation. tau keeps the
+        reference's prior-ish draw: the first sufficient-conditional
+        tau | eta draw (shape ~ n/2) resets it to the field-implied
+        scale in one step, so its start value is immaterial (measured:
+        a tau0 = 0.15 chain recovered instantly; the saturated-beta
+        chain never did). Pass ``start=`` to ``sample`` to reproduce
+        any other policy, including the reference's.
+        """
         k_tau, k_eta, k_alpha, k_beta = jax.random.split(key, 4)
         state = {}
         state['z'] = self._initial_z(fixed)
@@ -270,14 +295,10 @@ class GibbsBase:
         eta = jax.random.normal(k_eta, (self.n,), self.dtype)
         state['eta'] = eta - eta.mean()
         state['spatial'] = state['eta']
-        # reference draws alpha/beta ~ MVN(mu, 100 * prec) treating the
-        # precision as a covariance (gibbs/base.py:206-211); replicated.
-        la = jnp.linalg.cholesky(100.0 * fixed['a_prec'])
-        lb = jnp.linalg.cholesky(100.0 * fixed['b_prec'])
-        state['alpha'] = fixed['a_mu'] + la @ jax.random.normal(
+        state['alpha'] = fixed['a_mu'] + jax.random.normal(
             k_alpha, (self.n_alpha,), self.dtype
         )
-        state['beta'] = fixed['b_mu'] + lb @ jax.random.normal(
+        state['beta'] = fixed['b_mu'] + jax.random.normal(
             k_beta, (self.n_beta,), self.dtype
         )
         return state

@@ -168,16 +168,24 @@ class LogitICARGibbs(GibbsBase):
                 solver = 'cg' if n_sites >= _CG_AUTO_THRESHOLD else 'chol'
         self.solver = solver
         if cg_iters is None:
-            # 15 covers the spectral/DCT-preconditioned paths with
-            # margin (measured stationary-state residual 2.4e-6 at 12
-            # iterations on the 10k-site lattice); the graph path's
-            # deflated-Jacobi preconditioner is weaker. Measured COLD
-            # worst-case relative residuals at 10k sites across
-            # tau in [0.01, 1000] (in-loop solves warm-start and only
-            # do better): 20 iters 2.4e-3, 24 iters 8.7e-4, 32 iters
-            # 1.1e-4 — 24 sits well under the f32 matmul noise the
-            # dense paths already carry at 25% less CG cost than 32
-            cg_iters = 24 if self.solver == 'graph' else 15
+            # measured per-regime budgets:
+            # - 'cg' (spectral preconditioner, exact in Q's eigenbasis):
+            #   the COLD residual saturates at the f32 floor by 6
+            #   iterations at the headline size (1.0e-3 for budgets
+            #   6/8/10/15 alike), warm in-loop solves only do better,
+            #   and the 2026-08-20 seed sweep shows cg8 posterior means
+            #   z-identical to cg15 with +15-26% ESS/s (mean over seeds
+            #   7-9: 5462 vs 4736); 8 keeps a 2-iteration margin over
+            #   the measured knee.
+            # - 'stencil' (DCT preconditioner): stationary residual
+            #   2.4e-6 at 12 iterations on the 10k lattice; 15 has
+            #   margin.
+            # - 'graph' (deflated Jacobi, weakest): measured COLD
+            #   worst-case relative residuals at 10k sites across tau
+            #   in [0.01, 1000]: 20 iters 2.4e-3, 24 iters 8.7e-4, 32
+            #   iters 1.1e-4 — 24 sits well under the f32 matmul noise
+            #   the dense paths already carry.
+            cg_iters = {'graph': 24, 'cg': 8}.get(self.solver, 15)
         self.cg_iters = int(cg_iters)
         if self.spatial_sweeps is None:
             # measured policy (TPU), per solver regime. 'cg' (mid-size
@@ -222,6 +230,14 @@ class LogitICARGibbs(GibbsBase):
                                                      self.n))
             return
         if self.solver == 'graph':
+            # NB the banded CG panels stay float32 even on TPU — unlike
+            # the spectral eigenbasis (eig_dtype), elementwise rounding
+            # of Q's entries destroys the ICAR zero-row-sum cancellation
+            # (Qv ~ 0 for smooth v needs exact diag/neighbor
+            # cancellation): measured cold residual 2.3 with bf16 panels
+            # vs 8.7e-4 with f32 on a 20x20 lattice, i.e. the CG stops
+            # converging outright. See docs/design.md "10k-site
+            # configs".
             self.graph, arrays = etasetup.setup_graph(
                 Q, self.n, self.graph_rank, self.graph_block
             )

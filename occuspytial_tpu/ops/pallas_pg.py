@@ -41,8 +41,9 @@ _MAX_ROUNDS = 64
 # the worst point x = t both branch exponents equal -(n+1/2)^2 * pi^2 t/2
 # = -3.158 (n+1/2)^2, so a_4/a_0 = 9 exp(-63.2) ~ 3e-27: four terms
 # decide every lane to far below float32 (and float64) resolution, and
-# the residual auto-accept bias is ~1e-27 per draw. Each dropped term
-# saves one exp per lane per rejection round on the VPU.
+# the residual auto-accept bias is ~1e-27 per draw. Terms come from the
+# ratio recurrence in series_accept (2 exps total, ~2 mults per term),
+# so extra terms are nearly free — 4 is kept for the bias argument.
 _N_SERIES = 4
 _GOLD = jnp.int32(-1640531527)  # 2654435761 mod 2^32 (Fibonacci hashing)
 
@@ -68,24 +69,33 @@ def _pg_kernel(seeds_ref, c_ref, ratio_ref, kexp_ref, out_ref):
     half_csq = 0.5 * c * c
 
     def series_accept(x, v):
+        # terms via the exact ratio recurrence instead of one exp each:
+        #   a_{n+1}/a_n = ((2n+3)/(2n+1)) * q^{n+1},
+        #   q = exp(-4/x)       (x <= t branch)
+        #   q = exp(-pi^2 x)    (x >  t branch)
+        # so the whole series costs 2 exps + 1 log per lane per round
+        # (a_0 and q) in place of _N_SERIES+1 exps — the VPU
+        # transcendentals are the round's dominant cost
         small = x <= _T
         log_small_base = 1.5 * jnp.log(2.0 / (jnp.pi * x))
-
-        def a_n(n):
-            np5 = n + 0.5
-            expo = jnp.where(
+        a0 = (0.5 * jnp.pi) * jnp.exp(
+            jnp.where(
                 small,
-                log_small_base - 2.0 * np5 * np5 / x,
-                -np5 * np5 * (jnp.pi * jnp.pi / 2.0) * x,
+                log_small_base - 0.5 / x,
+                -(jnp.pi * jnp.pi / 8.0) * x,
             )
-            return jnp.pi * np5 * jnp.exp(expo)
+        )
+        q = jnp.exp(jnp.where(small, -4.0 / x, -(jnp.pi * jnp.pi) * x))
 
-        s = a_n(0.0)
-        y = v * s
+        s = a0
+        y = v * a0
+        term = a0
+        qp = jnp.ones(shape, jnp.float32)
         accepted = jnp.zeros(shape, jnp.bool_)
         rejected = jnp.zeros(shape, jnp.bool_)
         for n in range(1, _N_SERIES + 1):
-            term = a_n(float(n))
+            qp = qp * q  # q^n
+            term = term * ((2.0 * n + 1.0) / (2.0 * n - 1.0)) * qp
             if n % 2 == 1:
                 s = s - term
                 accepted = accepted | ((~rejected) & (y <= s))

@@ -87,21 +87,29 @@ def _series_accept(x, v):
     """
     small = x <= _T
 
-    def a_n(n):
-        np5 = n + 0.5
-        coef = jnp.pi * np5
-        expo_small = jnp.log(2.0 / (jnp.pi * x)) * 1.5 - 2.0 * np5 * np5 / x
-        expo_big = -np5 * np5 * (jnp.pi * jnp.pi / 2.0) * x
-        return coef * jnp.exp(jnp.where(small, expo_small, expo_big))
-
-    a0 = a_n(0.0)
+    # terms via the exact ratio recurrence a_{n+1}/a_n =
+    # ((2n+3)/(2n+1)) * q^{n+1} with q = exp(-4/x) (small branch) /
+    # exp(-pi^2 x) (big branch): 2 exps + 1 log for the whole series
+    # instead of one exp per term (same factorization as the fused
+    # Pallas kernel, ops/pallas_pg.py:series_accept)
+    a0 = (0.5 * jnp.pi) * jnp.exp(
+        jnp.where(
+            small,
+            jnp.log(2.0 / (jnp.pi * x)) * 1.5 - 0.5 / x,
+            -(jnp.pi * jnp.pi / 8.0) * x,
+        )
+    )
+    q = jnp.exp(jnp.where(small, -4.0 / x, -(jnp.pi * jnp.pi) * x))
     y = v * a0
     s = a0
+    term = a0
+    qp = jnp.ones_like(x)
     accepted = jnp.zeros_like(x, dtype=bool)
     rejected = jnp.zeros_like(x, dtype=bool)
     undecided = jnp.ones_like(x, dtype=bool)
     for n in range(1, _N_SERIES + 1):
-        term = a_n(float(n))
+        qp = qp * q  # q^n
+        term = term * ((2.0 * n + 1.0) / (2.0 * n - 1.0)) * qp
         if n % 2 == 1:
             s = s - term
             accepted = accepted | (undecided & (y <= s))

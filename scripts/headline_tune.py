@@ -21,7 +21,7 @@ sys.path.insert(
 )
 
 VARIANTS = {
-    'base': {},
+    'base': {},  # NB: the shipped default is cg_iters=8 since 2026-08-20
     'rbg': {'rng_impl': 'rbg'},
     'sweeps3': {'spatial_sweeps': 3},
     'sweeps4': {'spatial_sweeps': 4},
@@ -29,17 +29,25 @@ VARIANTS = {
     # step (profile_step: default 942 it/s, cg8 1187 it/s), so a
     # smaller warm-started budget buys it/s directly IF the draws stay
     # unbiased — the sweep z-checks beta means against base.
+    'cg15': {'cg_iters': 15},  # the round-2 default
     'cg12': {'cg_iters': 12},
     'cg10': {'cg_iters': 10},
     'cg8': {'cg_iters': 8},
+    'cg6': {'cg_iters': 6},
     'cg8s4': {'cg_iters': 8, 'spatial_sweeps': 4},
     'cg10s4': {'cg_iters': 10, 'spatial_sweeps': 4},
+    # tau-ridge robustness: the ASIS tau move as a slice sampler —
+    # the 12-step MH random walk (sd 1.2) cannot traverse the ~11
+    # log-tau units back out of a tau ~ 1e-3 degenerate-ridge
+    # excursion (seen as chain 17 of cg10:seed9, tau_min 8e-4, ESS 6)
+    'slice': {'asis_method': 'slice'},
+    'cg10slice': {'cg_iters': 10, 'asis_method': 'slice'},
 }
 
 #: sweep mode: variant x seed grid ("VARIANT:SEED" worker args)
 SWEEP = [
     f'{v}:{s}'
-    for v in ('base', 'cg8', 'cg10', 'cg8s4')
+    for v in ('cg15', 'cg8', 'cg10', 'cg8s4')
     for s in (7, 8, 9)
 ]
 

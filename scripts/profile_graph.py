@@ -25,9 +25,12 @@ ROWS, COLS, NS, CHAINS, SIZE = 100, 100, 5000, 16, 512
 VARIANTS = [
     'banded',          # default graph path (block-tridiagonal CG)
     'ell',             # gather-only ELL CG (graph_block=0)
-    'banded-cg16',     # CG budget sweep on the banded operator
+    'banded-cg12',     # CG budget sweep on the banded operator
+    'banded-cg16',
     'banded-cg24',
     'banded-cg48',
+    'defl16',          # deflation-rank sweep (default 64)
+    'defl32',
     'nonoise',         # noise scatter replaced by iid normals (BIASED —
                        # timing only: isolates the edge-scatter cost)
     'noquad',          # tau quad form replaced by a constant (BIASED)
@@ -52,6 +55,10 @@ def build(variant):
         return LogitICARGibbs(Qs, W, X, y, **kw)
     if variant == 'ell':
         return LogitICARGibbs(Qs, W, X, y, graph_block=0, **kw)
+    if variant.startswith('defl'):
+        return LogitICARGibbs(
+            Qs, W, X, y, graph_rank=int(variant[len('defl'):]), **kw
+        )
     if variant.startswith('banded-cg'):
         return LogitICARGibbs(
             Qs, W, X, y, cg_iters=int(variant[len('banded-cg'):]),
