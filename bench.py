@@ -18,6 +18,14 @@ logit ICAR, 2: probit ICAR, 3: logit RSR, 5: 10k-site matrix-free stencil
 ICAR) then run until the ``BENCH_BUDGET_S`` deadline (default 840 s),
 writing BENCH_DETAIL.json incrementally after each config.
 
+All configs run through ONE persistent worker subprocess (``--worker``),
+because on this single-core host each fresh process pays 1 s–4 min of
+tunneled-backend init plus single-core XLA compiles — round 2's
+process-per-config design spent its entire budget on that overhead. The
+parent watchdogs the worker on heartbeat-line *activity* and relaunches
+it (for the remaining configs only) if it wedges; a config that still
+fails keeps its last committed measurement flagged ``stale``.
+
 Floor results are cached in benchmarks/floor_cache.json (config-keyed,
 metric-tagged so a metric change invalidates stale entries).
 """
@@ -162,12 +170,13 @@ def measure_floor_headline(dataset):
     return res
 
 
-def bench_config(name, sampler, size, burnin, chains, retries=2):
-    # exactly ONE timed run per process: a second back-to-back run in the
-    # same process reliably dies with INVALID_ARGUMENT through the device
-    # tunnel (sustained dispatch + Pallas custom calls). Load-robustness
-    # comes from best-of-N at the *subprocess* level instead
-    # (run_subprocess_config best_of=...); the draws are identical per run.
+def bench_config(name, sampler, size, burnin, chains, retries=2,
+                 hb=log):
+    # one warmup + one timed run per config; on a transient runtime
+    # fault (round 2 saw INVALID_ARGUMENT after sustained dispatch
+    # through the tunnel) the in-process retry loop below re-runs the
+    # pair — the draws are seed-deterministic, so a retry measures the
+    # identical computation.
     # single-dispatch timed run: each dispatch through the axon tunnel
     # costs ~100 ms of dead time (measured: chunk 128 -> 557 it/s,
     # chunk 3008 -> 1217 it/s on the headline config), so the whole
@@ -176,11 +185,11 @@ def bench_config(name, sampler, size, burnin, chains, retries=2):
     last = None
     for attempt in range(retries + 1):
         try:
-            log(f'{name}: warmup run (compile + dispatch)…')
+            hb(f'{name}: warmup run (compile + dispatch)…')
             t_w = time.time()
             sampler.sample(size, chains=chains, progressbar=False)
-            log(f'{name}: warmup done in {time.time() - t_w:.1f}s; '
-                f'timed run…')
+            hb(f'{name}: warmup done in {time.time() - t_w:.1f}s; '
+               f'timed run…')
             t0 = time.time()
             post = sampler.sample(size, burnin=burnin, chains=chains,
                                   progressbar=False)
@@ -188,11 +197,12 @@ def bench_config(name, sampler, size, burnin, chains, retries=2):
             break
         except Exception as exc:  # transient tunnel/runtime errors
             last = exc
-            log(f'{name}: attempt {attempt} failed ({exc}); retrying')
+            hb(f'{name}: attempt {attempt} failed ({exc}); retrying')
             time.sleep(5)
     else:
-        log(f'{name}: FAILED after retries: {last}')
+        hb(f'{name}: FAILED after retries: {last}')
         return {'config': name, 'error': str(last)}
+    hb(f'{name}: timed run done in {wall:.1f}s; computing ESS…')
     ess = min_ess_per_param(post.data)
     res = {
         'config': name,
@@ -213,7 +223,8 @@ def bench_config(name, sampler, size, burnin, chains, retries=2):
     return res
 
 
-def measure_floor_config(name, sampler_factory, chains, size, burnin):
+def measure_floor_config(name, sampler_factory, chains, size, burnin,
+                         hb=log):
     """Generic cached floor: sequential reference-algorithm chains."""
     cache = _load_cache()
     key = {'name': name, 'chains': chains, 'size': size,
@@ -226,6 +237,7 @@ def measure_floor_config(name, sampler_factory, chains, size, burnin):
     outs = []
     t0 = time.time()
     for c in range(chains):
+        hb(f'floor[{name}]: chain {c + 1}/{chains}…')
         s.reset(1000 + c)
         outs.append(s.run(size, burnin=burnin))
     wall = time.time() - t0
@@ -245,20 +257,12 @@ def measure_floor_config(name, sampler_factory, chains, size, burnin):
     return res
 
 
-def run_one(which):
-    """Run a single config in this process; print its JSON result.
-
-    Every stage logs a timestamped line to stderr: when an attempt is
-    killed by the parent's watchdog, the captured tail says WHERE the
-    time went (import / backend init / floor / construction / compile /
-    timed run) instead of leaving a 629-second mystery like round 2's
-    config 1 (VERDICT r2 weak #1).
-    """
-    t0 = time.time()
-
-    def stage(msg):
-        log(f'[config {which} +{time.time() - t0:6.1f}s] {msg}')
-
+def _init_jax(stage):
+    """Idempotent jax import + persistent-cache config + first device
+    contact. The first contact through the tunneled runtime costs
+    anywhere from 1 s to ~4 min on this single-core host (measured
+    round 3) — which is exactly why the worker mode pays it ONCE for
+    all configs instead of once per config."""
     stage('importing jax')
     import jax
 
@@ -274,6 +278,16 @@ def run_one(which):
     except Exception as exc:  # keep going; sampling will surface it
         stage(f'device query failed: {exc!r}')
 
+
+def compute_one(which, stage):
+    """Measure a single config in this process; return its result dict.
+
+    Every stage emits a timestamped line: when an attempt is killed by
+    the parent's watchdog, the captured tail says WHERE the time went
+    (import / backend init / floor / construction / compile / timed
+    run) instead of leaving a 629-second mystery like round 2's
+    config 1 (VERDICT r2 weak #1).
+    """
     from occuspytial_tpu import (
         LogitICARGibbs,
         LogitRSRGibbs,
@@ -291,7 +305,8 @@ def run_one(which):
         s = LogitICARGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'])
         res = bench_config(
             'config4 logitICAR n=1000 64 chains (headline)', s,
-            HEAD['size'], HEAD['burnin'], HEAD['chains'], retries=0,
+            HEAD['size'], HEAD['burnin'], HEAD['chains'], retries=1,
+            hb=stage,
         )
     elif which in ('1', '2', '2b'):
         Q1, W1, X1, y1, *_ = make_lattice_dataset(10, 10, ns=50, seed=3)
@@ -301,14 +316,14 @@ def run_one(which):
             floor = measure_floor_config(
                 'floor1_logit_icar_100site',
                 lambda: NumpyLogitICAR(Q1, W1, X1, y1, random_state=3),
-                chains=4, size=2048, burnin=512,
+                chains=4, size=2048, burnin=512, hb=stage,
             )
             s = LogitICARGibbs(Q1, W1, X1, y1, random_state=3)
             res = bench_config(
                 # burnin by measured convergence (per-draw ESS 0.062 at
                 # 512 vs 0.057 at 1024 — not depressed, means within
                 # 1 MCSE)
-                'config1 logitICAR n=100 1 chain', s, 4096, 512, 1,
+                'config1 logitICAR n=100 1 chain', s, 4096, 512, 1, hb=stage,
             )
             if 'ess_per_sec' in res:
                 res['floor_ess_per_sec'] = floor['ess_per_sec']
@@ -327,7 +342,7 @@ def run_one(which):
                     lambda: NumpyProbitICAR(
                         Q1, W1, X1, y1, random_state=3
                     ),
-                    chains=4, size=2048, burnin=512,
+                    chains=4, size=2048, burnin=512, hb=stage,
                 )
                 # per-chain size/burnin match the floor protocol above
                 # (2048/512), so the short-chain bias of the pooled ESS
@@ -340,7 +355,7 @@ def run_one(which):
                 s = ProbitICARGibbs(Q1, W1, X1, y1, random_state=3)
                 res = bench_config(
                     'config2 probitICAR n=100 1024 chains', s,
-                    2048, 512, 1024,
+                    2048, 512, 1024, hb=stage,
                 )
             else:  # '2b': like-for-like vs the reference's RSR probit
                 from benchmarks.reference_floor import NumpyProbitRSR
@@ -350,7 +365,7 @@ def run_one(which):
                     lambda: NumpyProbitRSR(
                         Q1, W1, X1, y1, random_state=3
                     ),
-                    chains=4, size=2048, burnin=512,
+                    chains=4, size=2048, burnin=512, hb=stage,
                 )
                 # 512 chains: measured sweep (scripts/chain_scaling.py)
                 # — pooled ESS/sec keeps rising past 256 chains on this
@@ -358,7 +373,7 @@ def run_one(which):
                 s = ProbitRSRGibbs(Q1, W1, X1, y1, random_state=3)
                 res = bench_config(
                     'config2b probitRSR n=100 512 chains', s,
-                    2048, 512, 512,
+                    2048, 512, 512, hb=stage,
                 )
             if 'ess_per_sec' in res:
                 res['floor_ess_per_sec'] = floor['ess_per_sec']
@@ -377,7 +392,7 @@ def run_one(which):
             'floor3_logit_rsr_1000site',
             lambda: NumpyLogitRSR(Qh, Wh, Xh, yh,
                                   random_state=HEAD['seed'], q=100),
-            chains=4, size=1500, burnin=500,
+            chains=4, size=1500, burnin=500, hb=stage,
         )
         s = LogitRSRGibbs(Qh, Wh, Xh, yh, random_state=HEAD['seed'],
                           q=100)
@@ -385,7 +400,8 @@ def run_one(which):
             # burnin sized to measured convergence, like the headline:
             # per-draw pooled ESS 14.63 (burnin 1024) vs 14.67 (512),
             # beta means identical — the RSR kernel is converged by 512
-            'config3 logitRSR n=1000 q=100 64 chains', s, 3008, 512, 64,
+            'config3 logitRSR n=1000 q=100 64 chains', s, 3008, 512,
+            64, hb=stage,
         )
         if 'ess_per_sec' in res:
             res['floor_ess_per_sec'] = floor['ess_per_sec']
@@ -404,7 +420,7 @@ def run_one(which):
         floor = measure_floor_config(
             'floor5_logit_icar_10000site',
             lambda: NumpyLogitICAR(Q5, W5, X5, y5, random_state=11),
-            chains=2, size=400, burnin=100,
+            chains=2, size=400, burnin=100, hb=stage,
         )
         s = LogitICARGibbs(
             Q5, W5, X5, y5, random_state=11, lattice=(100, 100, 8),
@@ -413,7 +429,7 @@ def run_one(which):
             # burnin by measured convergence: per-draw pooled ESS is
             # 1.131 at both 128 and 256 burnin, means within +-0.002
             'config5 logitICAR n=10000 stencil 16 chains', s, 1024, 128,
-            16,
+            16, hb=stage,
         )
         if 'ess_per_sec' in res:
             res['floor_ess_per_sec'] = floor['ess_per_sec']
@@ -436,7 +452,7 @@ def run_one(which):
         floor = measure_floor_config(
             'floor5_logit_icar_10000site',
             lambda: NumpyLogitICAR(Q5, W5, X5, y5, random_state=11),
-            chains=2, size=400, burnin=100,
+            chains=2, size=400, burnin=100, hb=stage,
         )
         s = LogitICARGibbs(
             sps.csr_matrix(Q5), W5, X5, y5, random_state=11,
@@ -446,7 +462,7 @@ def run_one(which):
             # burnin by measured convergence (same evidence as config 5:
             # per-draw pooled ESS 1.138 at 128 vs 1.125 at 256)
             'config5g logitICAR n=10000 graph 16 chains', s, 1024, 128,
-            16,
+            16, hb=stage,
         )
         if 'ess_per_sec' in res:
             res['floor_ess_per_sec'] = floor['ess_per_sec']
@@ -455,7 +471,49 @@ def run_one(which):
             )
     else:
         raise SystemExit(f'unknown config {which}')
-    print('RESULT ' + json.dumps(res))
+    res['which'] = which
+    return res
+
+
+def run_one(which):
+    """``--config`` mode: one config in this process (legacy path)."""
+    t0 = time.time()
+
+    def stage(msg):
+        log(f'[config {which} +{time.time() - t0:6.1f}s] {msg}')
+
+    _init_jax(stage)
+    res = compute_one(which, stage)
+    print('RESULT ' + json.dumps(res), flush=True)
+
+
+def run_worker(configs):
+    """``--worker`` mode: ALL given configs sequentially in ONE process.
+
+    Pays the tunneled-backend init (1 s–4 min, single-core host) once
+    instead of once per config. Emits a flushed ``RESULT {json}`` line
+    per config the moment it completes, plus ``HB <stage>`` heartbeat
+    lines, so the parent can watchdog on line *activity* rather than
+    guessing a per-process wall budget. A config that raises is
+    reported as an error row and the worker moves on."""
+    t0 = time.time()
+
+    def hb(msg):
+        print(f'HB {msg}', flush=True)
+        log(f'[worker +{time.time() - t0:6.1f}s] {msg}')
+
+    _init_jax(hb)
+    for which in configs:
+        t_c = time.time()
+
+        def stage(msg, which=which, t_c=t_c):
+            hb(f'[config {which} +{time.time() - t_c:5.1f}s] {msg}')
+
+        try:
+            res = compute_one(which, stage)
+        except BaseException as exc:  # report, keep the worker alive
+            res = {'which': which, 'error': repr(exc)}
+        print('RESULT ' + json.dumps(res), flush=True)
 
 
 #: time.time() of the last successful tunnel ping; a success within
@@ -464,15 +522,17 @@ def run_one(which):
 _LAST_GOOD_PING = 0.0
 
 
-def tunnel_ping(timeout=45.0):
+def tunnel_ping(timeout=150.0):
     """Cheap liveness probe of the tunneled TPU runtime.
 
     Round 2's config 1 burned 629 s on ONE wedged attempt whose model
     samples in 1.2 s — the tunneled backend can hang a process on its
     first device sync. A 2-line subprocess that adds two scalars on
-    device detects that state in ``timeout`` seconds for pennies, so
-    the expensive measurement attempt is only launched into a live
-    tunnel.
+    device detects that state in ``timeout`` seconds for pennies, so a
+    fresh worker is only launched into a live tunnel. The default
+    allows for the measured healthy-but-slow init tail (round 3: first
+    device contact took up to ~3 min on this single-core host while a
+    concurrent compile held the core).
     """
     import subprocess
 
@@ -494,103 +554,102 @@ def tunnel_ping(timeout=45.0):
     return ok
 
 
-def run_subprocess_config(which, attempts=2, best_of=1, deadline=None,
-                          attempt_cap=300.0):
-    """Run one config in fresh processes (isolates transient TPU
-    runtime faults); retry with a brand-new process on failure.
+#: slot names in BENCH_DETAIL.json, keyed by config id, in run order
+#: (headline first so its driver line prints the moment it exists)
+SLOTS = [
+    ('4', '4_logit_icar_1000site_64chains'),
+    ('1', '1_logit_icar_100site_1chain'),
+    ('2', '2_probit_icar_100site'),
+    ('2b', '2b_probit_rsr_100site'),
+    ('3', '3_logit_rsr_1000site'),
+    ('5', '5_logit_icar_10000site_stencil'),
+    ('5g', '5g_logit_icar_10000site_graph'),
+]
+SLOT_OF = dict(SLOTS)
 
-    ``best_of``: keep launching fresh processes until that many runs
-    succeed (or ``attempts`` processes were tried) and return the
-    fastest — wall clock through the device tunnel is host-load
-    sensitive, while the draws themselves are seed-deterministic.
-    ``deadline``: absolute time.time() after which no further process
-    is launched (already-collected successes are still returned).
-    ``attempt_cap``: hard per-attempt watchdog. Every config's
-    *successful* subprocess costs well under 200 s (measured round 2/3:
-    1-8 s timed run + <90 s cold compile + cached floor), so a single
-    attempt is never allowed the whole remaining budget again (round-2
-    failure: one wedged attempt got 629 s and starved configs 2-5g).
+
+def run_worker_batch(configs, deadline, on_result, idle_cap=300.0):
+    """One worker subprocess over ``configs``; harvest RESULT lines.
+
+    The single-core host pays the tunneled-backend init (measured 1 s
+    to ~4 min round 3) once per *worker*, not once per config — round
+    2's per-config fresh processes burned the whole budget on repeated
+    init/compile. The watchdog is activity-based: the worker heartbeats
+    (``HB`` lines) at every stage boundary, and is killed only after
+    ``idle_cap`` seconds of *silence* (a wedged tunnel client sits in a
+    futex wait forever and never prints again) or at ``deadline``.
+
+    Returns the configs that did not produce a RESULT line, in order.
     """
+    import queue
     import subprocess
+    import threading
 
-    last = None
-    successes = []
-    for attempt in range(attempts):
-        if deadline is not None and time.time() > deadline and (
-                successes or attempt > 0):
-            log(f'config {which}: budget deadline reached after '
-                f'{attempt} attempt(s)')
-            break
-        if not tunnel_ping():
-            # wedged tunnel: poll cheaply instead of burning a full
-            # attempt watchdog on a process that will hang at first sync
-            log(f'config {which}: tunnel ping failed; '
-                f'waiting 15s before retry')
-            last = {'config': which, 'error': 'tunnel ping failed'}
-            time.sleep(15)
-            continue
-        attempt_timeout = float(attempt_cap)
-        if deadline is not None:
-            attempt_timeout = min(
-                attempt_timeout, max(60.0, deadline - time.time())
-            )
+    pend = list(configs)
+    log(f'worker: launching for configs [{",".join(pend)}]')
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         '--worker', ','.join(pend)],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, cwd=HERE,
+    )
+    lines = queue.Queue()
+
+    def _pump():
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 '--config', which],
-                capture_output=True, text=True,
-                timeout=attempt_timeout, cwd=HERE,
-            )
-        except subprocess.TimeoutExpired:
-            last = {'config': which, 'error': 'attempt timed out',
-                    'timeout_s': attempt_timeout}
-            log(f'config {which}: attempt {attempt} timed out after '
-                f'{attempt_timeout:.0f}s; retrying in a fresh process')
-            continue
-        parsed = None
-        for line in proc.stdout.splitlines():
+            for raw in proc.stdout:
+                lines.put(raw.rstrip('\n'))
+        finally:
+            lines.put(None)
+
+    threading.Thread(target=_pump, daemon=True).start()
+    try:
+        while pend:
+            if time.time() > deadline:
+                log('worker: budget deadline reached; stopping worker')
+                break
+            try:
+                line = lines.get(
+                    timeout=min(idle_cap,
+                                max(5.0, deadline - time.time()))
+                )
+            except queue.Empty:
+                log(f'worker: silent too long (next: config {pend[0]}); '
+                    f'killing')
+                break
+            if line is None:
+                log('worker: process exited')
+                break
             if line.startswith('RESULT '):
                 parsed = json.loads(line[len('RESULT '):])
-        if parsed is not None and 'error' not in parsed:
-            log(f'{parsed.get("config", which)}: '
-                f'{parsed.get("ess_per_sec")} ESS/sec')
-            global _LAST_GOOD_PING
-            _LAST_GOOD_PING = time.time()  # tunnel proven alive
-            successes.append(parsed)
-            if len(successes) >= best_of:
-                break
-            continue
-        if parsed is not None:
-            last = parsed
-        else:
-            tail = (proc.stderr or '').strip().splitlines()[-3:]
-            last = {'config': which, 'error': 'subprocess failed',
-                    'tail': tail}
-        log(f'config {which}: attempt {attempt} failed; '
-            f'retrying in a fresh process')
-        time.sleep(2)
-    if successes:
-        return max(successes, key=lambda r: r.get('ess_per_sec', 0.0))
-    return last or {'config': which, 'error': 'all attempts failed'}
+                which = parsed.get('which')
+                if which in pend:
+                    pend.remove(which)
+                on_result(which, parsed)
+            # HB lines need no handling: arriving at all resets the
+            # idle timer
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    return pend
 
 
 def main():
-    """Headline FIRST, one driver-consumable JSON line IMMEDIATELY after
-    it (round-1 failure mode: the line only printed after ~30 min of
-    detail configs and the driver killed the run before it appeared),
-    then detail configs until the BENCH_BUDGET_S deadline."""
+    """Headline FIRST, one driver-consumable JSON line IMMEDIATELY
+    after it (round-1 failure mode: the line only printed after ~30 min
+    of detail configs and the driver killed the run before it
+    appeared), then the detail configs — all through one persistent
+    worker process, relaunched only when it wedges or crashes."""
     t_start = time.time()
     budget = float(os.environ.get('BENCH_BUDGET_S', 840))
     deadline = t_start + budget
 
     # the parent NEVER touches a jax device: initializing the tunneled
     # TPU backend blocks indefinitely while its server session is
-    # wedged, and only the measurement subprocesses need the device —
-    # a hung subprocess is killed by its watchdog, a hung parent kills
-    # the whole bench
+    # wedged, and only the worker needs the device — a hung worker is
+    # killed by its watchdog, a hung parent kills the whole bench
     from occuspytial_tpu.utils import make_data
 
-    log(f'budget {budget:.0f}s (backend reported per-subprocess)')
+    log(f'budget {budget:.0f}s (single persistent worker)')
     detail = {}
     # prior committed artifact, read BEFORE the first flush overwrites
     # it: a config whose every attempt fails (e.g. a device-tunnel
@@ -613,19 +672,41 @@ def main():
         random_state=HEAD['seed'],
     )
     floor = measure_floor_headline((Qh, Wh, Xh, yh))
-
-    # ---- headline measurement, then print the driver line ------------- #
-    head = run_subprocess_config(
-        '4', attempts=3, best_of=2,
-        # leave at least half the budget for the line + detail configs
-        deadline=t_start + 0.5 * budget,
-    )
-    detail['4_logit_icar_1000site_64chains'] = head
     detail['floor_headline'] = floor
 
-    if 'ess_per_sec' not in head:
-        # never leave the driver without a benchmark line: fall back to
-        # the last committed successful measurement, flagged stale
+    state = {'printed': False}
+
+    def print_headline(head):
+        """Emit the one driver-consumable stdout line (exactly once)."""
+        global _LINE_PRINTED
+        if state['printed']:
+            return
+        state['printed'] = True
+        _LINE_PRINTED = True
+        vs = head.get('ess_per_sec', 0.0) / floor['ess_per_sec']
+        log(f'headline vs floor: {vs:.1f}x')
+        detail['vs_baseline_headline'] = round(vs, 2)
+        print(json.dumps({
+            'metric': (
+                'aggregate ESS/sec (min over alpha+beta+tau, pooled '
+                f'over {HEAD["chains"]} chains, LogitICARGibbs, '
+                '1000-site ICAR lattice) vs single-core CPU reference '
+                'floor'
+            ),
+            'value': head.get('ess_per_sec', 0.0),
+            'unit': 'ESS/sec',
+            'vs_baseline': round(vs, 2),
+        }), flush=True)
+        # only a real fresh measurement may become the stale-fallback;
+        # never persist a failure sentinel (round-1 bug: a 0.0 got
+        # written here and read back as "last good" forever after)
+        if (head.get('ess_per_sec', 0.0) > 0.0 and 'error' not in head
+                and not head.get('stale')):
+            with open(DETAIL + '.last_good', 'w') as fh:
+                json.dump(dict(head, metric=METRIC_TAG), fh, indent=1)
+
+    def headline_fallback():
+        """Half-budget gone without a headline: print last-good stale."""
         try:
             with open(DETAIL + '.last_good') as fh:
                 stale = json.load(fh)
@@ -636,83 +717,79 @@ def main():
                     'last_good was measured under a different metric'
                 )
             head = dict(stale, stale=True)
-            detail['4_logit_icar_1000site_64chains'] = head
             log('headline: using last-good (stale) measurement')
         except Exception:
             head = {'ess_per_sec': 0.0}
             log('headline: FAILED and no last-good fallback')
-
-    vs = head['ess_per_sec'] / floor['ess_per_sec']
-    log(f'headline vs floor: {vs:.1f}x')
-    detail['vs_baseline_headline'] = round(vs, 2)
-    flush_detail()
-
-    global _LINE_PRINTED
-    _LINE_PRINTED = True
-    print(json.dumps({
-        'metric': (
-            'aggregate ESS/sec (min over alpha+beta+tau, pooled over '
-            f'{HEAD["chains"]} chains, LogitICARGibbs, 1000-site '
-            'ICAR lattice) vs single-core CPU reference floor'
-        ),
-        'value': head['ess_per_sec'],
-        'unit': 'ESS/sec',
-        'vs_baseline': round(vs, 2),
-    }), flush=True)
-
-    # only a real successful measurement may become the stale-fallback;
-    # never persist a failure sentinel (round-1 bug: a 0.0 got written
-    # here and was then read back as "last good" forever after)
-    if (head.get('ess_per_sec', 0.0) > 0.0 and 'error' not in head
-            and not head.get('stale')):
-        with open(DETAIL + '.last_good', 'w') as fh:
-            json.dump(dict(head, metric=METRIC_TAG), fh, indent=1)
-
-    # ---- detail configs, budget-gated --------------------------------- #
-    # each remaining config gets a fair SLICE of the remaining budget
-    # (not first-come-first-served: round 2's config 1 consumed the
-    # whole tail and starved 2/2b/3/5/5g). A config that finishes early
-    # donates its leftover slice to the ones after it; a config that
-    # exhausts its slice is cut off there.
-    slots = [
-        ('1_logit_icar_100site_1chain', '1'),
-        ('2_probit_icar_100site', '2'),
-        ('2b_probit_rsr_100site', '2b'),
-        ('3_logit_rsr_1000site', '3'),
-        ('5_logit_icar_10000site_stencil', '5'),
-        ('5g_logit_icar_10000site_graph', '5g'),
-    ]
-    for i, (slot, which) in enumerate(slots):
-        if time.time() > deadline:
-            log(f'budget exhausted ({budget:.0f}s); skipping config '
-                f'{which} and the rest')
-            if prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0:
-                # keep the last committed measurement rather than
-                # dropping the row — a budget skip is not a failure
-                detail[slot] = dict(
-                    prior[slot], stale=True, skipped='budget'
-                )
-            else:
-                detail[slot] = {'config': which, 'skipped': 'budget'}
-            flush_detail()
-            continue
-        n_left = len(slots) - i
-        slice_s = max(90.0, (deadline - time.time()) / n_left)
-        config_deadline = min(deadline, time.time() + slice_s)
-        log(f'config {which}: budget slice {slice_s:.0f}s '
-            f'({n_left} configs left)')
-        res = run_subprocess_config(
-            which, attempts=3, deadline=config_deadline,
-            attempt_cap=max(60.0, slice_s - 10.0),
-        )
-        if 'ess_per_sec' not in res and (
-                prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0
-                and not prior[slot].get('stale')):
-            log(f'config {which}: all attempts failed; keeping the '
-                f'prior measurement (stale)')
-            res = dict(prior[slot], stale=True, last_error=res)
-        detail[slot] = res
+        detail[SLOT_OF['4']] = head
+        print_headline(head)
         flush_detail()
+
+    def on_result(which, parsed):
+        slot = SLOT_OF.get(which, which)
+        if 'ess_per_sec' in parsed:
+            detail[slot] = parsed
+            if which == '4':
+                print_headline(parsed)
+        else:
+            log(f'config {which}: worker reported error: '
+                f'{parsed.get("error")}')
+            if (prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0
+                    and not prior[slot].get('stale')):
+                detail[slot] = dict(prior[slot], stale=True,
+                                    last_error=parsed)
+            else:
+                detail[slot] = parsed
+        flush_detail()
+
+    # ---- all configs through one persistent worker -------------------- #
+    pend = [which for which, _ in SLOTS]
+    errored_once = set()
+    batch = 0
+    while pend and time.time() < deadline - 20:
+        batch += 1
+        if batch > 1:
+            # a worker just wedged or crashed; probe the tunnel
+            # cheaply before paying another init
+            if not tunnel_ping(timeout=min(
+                    150.0, max(30.0, deadline - time.time() - 60.0))):
+                log('tunnel ping failed; waiting 20s')
+                if '4' in pend and time.time() > t_start + 0.5 * budget:
+                    headline_fallback()
+                    pend.remove('4')
+                time.sleep(20)
+                continue
+        pend = run_worker_batch(pend, deadline, on_result)
+        # retry configs that returned an error row exactly once (a
+        # stale-kept prior row still counts as needing a fresh retry)
+        retry = [
+            w for w, s in SLOTS
+            if w not in pend and w not in errored_once
+            and ('ess_per_sec' not in detail.get(s, {})
+                 or detail.get(s, {}).get('stale'))
+        ]
+        errored_once.update(retry)
+        pend = [w for w, _ in SLOTS if w in pend or w in retry]
+        if '4' in pend and time.time() > t_start + 0.6 * budget:
+            headline_fallback()
+            pend.remove('4')
+
+    if '4' in pend or SLOT_OF['4'] not in detail:
+        headline_fallback()
+    for which in pend:
+        slot = SLOT_OF[which]
+        if detail.get(slot, {}).get('ess_per_sec', 0.0) > 0.0:
+            continue
+        log(f'budget exhausted ({budget:.0f}s); config {which} not '
+            f'measured this run')
+        if prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0:
+            # keep the last committed measurement rather than dropping
+            # the row — a budget skip is not a failure
+            detail[slot] = dict(prior[slot], stale=True,
+                                skipped='budget')
+        else:
+            detail[slot] = {'config': which, 'skipped': 'budget'}
+    flush_detail()
 
     log(f'detail written to {DETAIL} '
         f'({time.time() - t_start:.0f}s total)')
@@ -724,7 +801,9 @@ def main():
 _LINE_PRINTED = False
 
 if __name__ == '__main__':
-    if len(sys.argv) >= 3 and sys.argv[1] == '--config':
+    if len(sys.argv) >= 3 and sys.argv[1] == '--worker':
+        run_worker(sys.argv[2].split(','))
+    elif len(sys.argv) >= 3 and sys.argv[1] == '--config':
         run_one(sys.argv[2])
     else:
         try:
