@@ -239,7 +239,15 @@ def measure_floor_config(name, sampler_factory, chains, size, burnin,
     for c in range(chains):
         hb(f'floor[{name}]: chain {c + 1}/{chains}…')
         s.reset(1000 + c)
-        outs.append(s.run(size, burnin=burnin))
+        outs.append(s.run(
+            size, burnin=burnin,
+            # in-chain heartbeats: a 10k-site floor chain runs minutes
+            # between chain-start lines, which round 3's activity
+            # watchdog could mistake for a wedge (ADVICE r3 #4)
+            hb=lambda i, n, c=c: hb(
+                f'floor[{name}]: chain {c + 1}/{chains} iter {i}/{n}'
+            ),
+        ))
     wall = time.time() - t0
     samples = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
     ess = min_ess_per_param(samples)
@@ -257,6 +265,41 @@ def measure_floor_config(name, sampler_factory, chains, size, burnin,
     return res
 
 
+def _cache_dir():
+    """Persistent-compilation-cache dir, VERSIONED by the jax/jaxlib
+    build fingerprint: entries written by a different runtime can never
+    be read back (round 3 died on ``Error reading persistent
+    compilation cache entry … INVALID_ARGUMENT`` poisoning every
+    config in the worker — VERDICT r3 next-round #1a)."""
+    try:
+        import jax
+        import jaxlib
+
+        tag = f'v-{jax.__version__}-{jaxlib.__version__}'
+    except Exception:
+        tag = 'v-unknown'
+    return os.path.join(HERE, '.jax_cache', tag)
+
+
+def wipe_jax_cache():
+    """Delete every persistent-cache entry (all version tags).
+
+    Called by the parent when a worker dies of a backend-wide runtime
+    fault or a cache-read error: a truncated entry (worker killed
+    mid-write) or one serialized against a now-sick backend poisons
+    every subsequent compile in that process, and the only safe
+    recovery is a clean slate plus a fresh worker."""
+    import shutil
+
+    root = os.path.join(HERE, '.jax_cache')
+    try:
+        if os.path.isdir(root):
+            shutil.rmtree(root, ignore_errors=True)
+        log('wiped persistent compilation cache')
+    except Exception as exc:
+        log(f'cache wipe failed (continuing): {exc!r}')
+
+
 def _init_jax(stage):
     """Idempotent jax import + persistent-cache config + first device
     contact. The first contact through the tunneled runtime costs
@@ -266,8 +309,7 @@ def _init_jax(stage):
     stage('importing jax')
     import jax
 
-    jax.config.update('jax_compilation_cache_dir',
-                      os.path.join(HERE, '.jax_cache'))
+    jax.config.update('jax_compilation_cache_dir', _cache_dir())
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     stage('initializing backend (first device contact)')
@@ -568,6 +610,22 @@ SLOTS = [
 SLOT_OF = dict(SLOTS)
 
 
+#: substrings marking a *runtime/backend* fault (as opposed to a bug in
+#: one config's model code): the tunneled TPU runtime dying mid-run, or
+#: a poisoned persistent-cache entry failing backend deserialization.
+#: Two consecutive config errors matching these mean the WORKER is sick,
+#: not the configs — restart it instead of marching on (round 3 burned
+#: all six configs on one dead backend; VERDICT r3 next-round #1b).
+BACKEND_FAULT_SIGS = (
+    'INVALID_ARGUMENT', 'TPU backend error', 'UNAVAILABLE',
+    'DEADLINE_EXCEEDED', 'cache entry', 'INTERNAL:', 'ABORTED',
+)
+
+
+def _is_backend_fault(err):
+    return any(sig in err for sig in BACKEND_FAULT_SIGS)
+
+
 def run_worker_batch(configs, deadline, on_result, idle_cap=300.0):
     """One worker subprocess over ``configs``; harvest RESULT lines.
 
@@ -575,11 +633,20 @@ def run_worker_batch(configs, deadline, on_result, idle_cap=300.0):
     to ~4 min round 3) once per *worker*, not once per config — round
     2's per-config fresh processes burned the whole budget on repeated
     init/compile. The watchdog is activity-based: the worker heartbeats
-    (``HB`` lines) at every stage boundary, and is killed only after
-    ``idle_cap`` seconds of *silence* (a wedged tunnel client sits in a
-    futex wait forever and never prints again) or at ``deadline``.
+    (``HB`` lines) at every stage boundary *and within floor chains*,
+    and is killed only after an idle cap of *silence* (a wedged tunnel
+    client sits in a futex wait forever and never prints again) or at
+    ``deadline``. The cap is stage-aware: backend init and first-config
+    warmup are allowed the measured ~4-minute healthy-but-slow tail
+    plus margin (ADVICE r3 #4).
 
-    Returns the configs that did not produce a RESULT line, in order.
+    Returns ``(pend, reason)``: the configs that did not produce a
+    RESULT line, in order, and why the batch ended — ``'done'`` (all
+    results in), ``'deadline'``, ``'idle'`` (watchdog kill),
+    ``'exit'`` (worker exited early), or ``'backend'`` (two
+    consecutive configs failed with the same class of backend/runtime
+    fault — the worker was killed and the caller should recover the
+    tunnel/cache before relaunching).
     """
     import queue
     import subprocess
@@ -602,35 +669,73 @@ def run_worker_batch(configs, deadline, on_result, idle_cap=300.0):
             lines.put(None)
 
     threading.Thread(target=_pump, daemon=True).start()
+    reason = 'done'
+    backend_errs = 0  # consecutive backend-signature error RESULTs
+    #: stages measured slow-but-healthy on this host (round 3: first
+    #: device contact up to ~4 min while a compile held the core; the
+    #: first warmup compiles the whole scan single-core)
+    slow_markers = ('initializing backend', 'importing jax',
+                    'warmup run', 'computing ESS')
+    cur_cap = 420.0  # worker starts in the init stage
     try:
         while pend:
             if time.time() > deadline:
                 log('worker: budget deadline reached; stopping worker')
+                reason = 'deadline'
                 break
             try:
                 line = lines.get(
-                    timeout=min(idle_cap,
+                    timeout=min(cur_cap,
                                 max(5.0, deadline - time.time()))
                 )
             except queue.Empty:
-                log(f'worker: silent too long (next: config {pend[0]}); '
-                    f'killing')
+                if time.time() > deadline:
+                    reason = 'deadline'
+                else:
+                    log(f'worker: silent too long (cap {cur_cap:.0f}s, '
+                        f'next: config {pend[0]}); killing')
+                    reason = 'idle'
                 break
             if line is None:
                 log('worker: process exited')
+                reason = 'exit'
                 break
-            if line.startswith('RESULT '):
+            if line.startswith('HB '):
+                # arriving at all resets the idle timer; the content
+                # picks the NEXT silence allowance
+                cur_cap = (420.0 if any(m in line for m in slow_markers)
+                           else idle_cap)
+                continue
+            if not line.startswith('RESULT '):
+                continue
+            try:
                 parsed = json.loads(line[len('RESULT '):])
-                which = parsed.get('which')
-                if which in pend:
-                    pend.remove(which)
-                on_result(which, parsed)
-            # HB lines need no handling: arriving at all resets the
-            # idle timer
+            except json.JSONDecodeError:
+                # worker died mid-write: a truncated RESULT line must
+                # not abort the whole harvest (ADVICE r3 #3)
+                log(f'worker: malformed RESULT line ignored: '
+                    f'{line[:120]!r}')
+                continue
+            which = parsed.get('which')
+            if which in pend:
+                pend.remove(which)
+            on_result(which, parsed)
+            err = parsed.get('error', '')
+            if err and _is_backend_fault(err):
+                backend_errs += 1
+                if backend_errs >= 2:
+                    log('worker: two consecutive backend-fault errors '
+                        '— the worker is sick, not the configs; '
+                        'killing for recovery')
+                    reason = 'backend'
+                    break
+            else:
+                backend_errs = 0
+            cur_cap = idle_cap
     finally:
         if proc.poll() is None:
             proc.kill()
-    return pend
+    return pend, reason
 
 
 def main():
@@ -744,8 +849,21 @@ def main():
 
     # ---- all configs through one persistent worker -------------------- #
     pend = [which for which, _ in SLOTS]
-    errored_once = set()
+    errored_once = {}  # config id -> retries consumed
+    wedges = {}      # config id -> consecutive idle-kills while it was next
+    cache_wiped = False
     batch = 0
+    # probe the tunnel BEFORE the first worker launch too (VERDICT r3
+    # next-round #1c): launching a worker into a dead tunnel burns the
+    # init cost plus a full idle-cap of watchdog silence
+    first_ping_ok = tunnel_ping(timeout=150.0)
+    if not first_ping_ok:
+        log('pre-launch tunnel ping failed; waiting 20s and retrying')
+        time.sleep(20)
+        first_ping_ok = tunnel_ping(timeout=150.0)
+        if not first_ping_ok:
+            log('tunnel still dead before first launch; launching '
+                'anyway (the worker watchdog bounds the damage)')
     while pend and time.time() < deadline - 20:
         batch += 1
         if batch > 1:
@@ -759,22 +877,71 @@ def main():
                     pend.remove('4')
                 time.sleep(20)
                 continue
-        pend = run_worker_batch(pend, deadline, on_result)
-        # retry configs that returned an error row exactly once (a
-        # stale-kept prior row still counts as needing a fresh retry)
-        retry = [
-            w for w, s in SLOTS
-            if w not in pend and w not in errored_once
-            and ('ess_per_sec' not in detail.get(s, {})
-                 or detail.get(s, {}).get('stale'))
-        ]
-        errored_once.update(retry)
-        pend = [w for w, _ in SLOTS if w in pend or w in retry]
+        pend, reason = run_worker_batch(pend, deadline, on_result)
+        if reason == 'backend' and not cache_wiped:
+            # backend-wide fault: a poisoned persistent-cache entry is
+            # the prime suspect (round 3's failure mode) — wipe once,
+            # then relaunch into a pinged tunnel
+            wipe_jax_cache()
+            cache_wiped = True
+        if reason == 'idle' and pend:
+            # the config the worker was on when it wedged goes to the
+            # END of the queue so the others get a chance this budget
+            # (ADVICE r3 #2); after 2 wedges it is dropped for the run
+            suspect = pend[0]
+            wedges[suspect] = wedges.get(suspect, 0) + 1
+            if wedges[suspect] >= 2:
+                log(f'config {suspect}: wedged the worker '
+                    f'{wedges[suspect]}x; dropping for this run')
+                pend = pend[1:]
+                slot = SLOT_OF.get(suspect, suspect)
+                if slot not in detail:
+                    if prior.get(slot, {}).get('ess_per_sec', 0) > 0:
+                        detail[slot] = dict(prior[slot], stale=True,
+                                            last_error='wedged worker')
+                    else:
+                        detail[slot] = {'config': suspect,
+                                        'error': 'wedged worker 2x'}
+                flush_detail()
+            elif len(pend) > 1:
+                log(f'config {suspect}: suspected wedger; rotating to '
+                    f'end of queue')
+                pend = pend[1:] + [suspect]
+        # retry configs that returned an error row (a stale-kept prior
+        # row still counts as needing a fresh retry): once for a
+        # config-local error, up to twice when the error matched a
+        # backend fault — those configs were victims of a sick worker,
+        # not broken themselves, and the backend has since been
+        # recovered (cache wipe + tunnel ping)
+        def _err_of(slot_row):
+            e = slot_row.get('error') or slot_row.get('last_error')
+            if isinstance(e, dict):
+                e = e.get('error', '')
+            return str(e or '')
+
+        retry = []
+        for w, s in SLOTS:
+            row = detail.get(s, {})
+            if w in pend or ('ess_per_sec' in row
+                             and not row.get('stale')):
+                continue
+            cap = 2 if _is_backend_fault(_err_of(row)) else 1
+            if errored_once.get(w, 0) < cap:
+                errored_once[w] = errored_once.get(w, 0) + 1
+                retry.append(w)
+        # retries (fast error rows, likely victims of the now-recovered
+        # backend) go FIRST; the wedge-rotated order of ``pend`` is
+        # preserved rather than rebuilt in SLOTS order, or the rotation
+        # would be undone (ADVICE r3 #2)
+        pend = retry + [w for w in pend if w not in retry]
         if '4' in pend and time.time() > t_start + 0.6 * budget:
             headline_fallback()
             pend.remove('4')
 
-    if '4' in pend or SLOT_OF['4'] not in detail:
+    # gate the final fallback on the actual print state, not on
+    # pend/detail membership: an error row in detail['4_…'] does NOT
+    # mean the driver line was emitted (ADVICE r3 #1)
+    if not state['printed']:
         headline_fallback()
     for which in pend:
         slot = SLOT_OF[which]

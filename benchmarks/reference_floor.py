@@ -275,13 +275,23 @@ class NumpyLogitICAR:
             self.z[ns] = rng.random(ns.size) < p_ns
         self.k = self.z - 0.5
 
-    def run(self, size, burnin=0):
+    def run(self, size, burnin=0, hb=None, hb_every=100):
+        """Run ``size`` Gibbs iterations, returning post-burnin draws.
+
+        ``hb``, when given, is called as ``hb(i, size)`` every
+        ``hb_every`` iterations — the bench harness uses it to emit
+        heartbeat lines *within* a chain so its activity watchdog does
+        not mistake a slow floor chain (minutes at n=10000) for a
+        wedged process.
+        """
         keep = size - burnin
         out_alpha = np.empty((keep, self.alpha.size))
         out_beta = np.empty((keep, self.beta.size))
         out_tau = np.empty(keep)
         for i in range(size):
             self.step()
+            if hb is not None and i % hb_every == 0 and i:
+                hb(i, size)
             if i >= burnin:
                 out_alpha[i - burnin] = self.alpha
                 out_beta[i - burnin] = self.beta
