@@ -267,18 +267,32 @@ def measure_floor_config(name, sampler_factory, chains, size, burnin,
 
 def _cache_dir():
     """Persistent-compilation-cache dir, VERSIONED by the jax/jaxlib
-    build fingerprint: entries written by a different runtime can never
-    be read back (round 3 died on ``Error reading persistent
-    compilation cache entry … INVALID_ARGUMENT`` poisoning every
-    config in the worker — VERDICT r3 next-round #1a)."""
+    build AND the live backend's platform-version fingerprint: entries
+    written by a different runtime can never be read back (round 3 died
+    on ``Error reading persistent compilation cache entry …
+    INVALID_ARGUMENT`` poisoning every config in the worker — VERDICT
+    r3 next-round #1a; the repo filesystem persists across rounds while
+    the tunneled backend/host may not, so the jax version alone is not
+    a sufficient fingerprint)."""
+    import hashlib
+
+    parts = []
     try:
         import jax
         import jaxlib
 
-        tag = f'v-{jax.__version__}-{jaxlib.__version__}'
+        parts.append(f'{jax.__version__}-{jaxlib.__version__}')
+        # runtime fingerprint — only available once the backend is up;
+        # callers set the cache dir AFTER first device contact
+        try:
+            backend = jax.extend.backend.get_backend()
+            parts.append(f'{backend.platform}-{backend.platform_version}')
+        except Exception:
+            parts.append('nobackend')
     except Exception:
-        tag = 'v-unknown'
-    return os.path.join(HERE, '.jax_cache', tag)
+        parts.append('unknown')
+    digest = hashlib.sha256('|'.join(parts).encode()).hexdigest()[:12]
+    return os.path.join(HERE, '.jax_cache', f'v-{digest}')
 
 
 def wipe_jax_cache():
@@ -309,9 +323,6 @@ def _init_jax(stage):
     stage('importing jax')
     import jax
 
-    jax.config.update('jax_compilation_cache_dir', _cache_dir())
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     stage('initializing backend (first device contact)')
     try:
         ndev = len(jax.devices())
@@ -319,6 +330,11 @@ def _init_jax(stage):
               f'{jax.devices()[0].platform}')
     except Exception as exc:  # keep going; sampling will surface it
         stage(f'device query failed: {exc!r}')
+    # cache dir is chosen AFTER device contact so the fingerprint can
+    # include the live runtime's platform version (see _cache_dir)
+    jax.config.update('jax_compilation_cache_dir', _cache_dir())
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 
 def compute_one(which, stage):

@@ -329,6 +329,44 @@ class GibbsBase:
             f'{self.__class__.__name__} must implement a `_step` method.'
         )
 
+    def _track_resid(self, state, rel):
+        """Fold one eta-solve's relative residual into the running max.
+
+        The max rides the scan carry (``state['solver_resid']``, created
+        by samplers with an iterative eta solver) and is checked against
+        ``solver_check_tol`` when :meth:`sample` returns — the in-run
+        complement of the cold-start guardrail, restoring the
+        reference's per-draw MINRES convergence guarantee (reference
+        gibbs/logit.py:91-92): a tau excursion mid-run into a regime the
+        fixed CG budget cannot handle is detected, not silently biased.
+        """
+        if 'solver_resid' in state:
+            state['solver_resid'] = jnp.maximum(
+                state['solver_resid'], rel.astype(self.dtype)
+            )
+
+    def _check_run_solver_health(self, carry):
+        """Raise if any chain's in-run solver residual max exceeded
+        ``solver_check_tol`` (see :meth:`_track_resid`). Called at the
+        end of :meth:`sample`; the measured max is kept on
+        ``self.last_solver_resid`` either way."""
+        states = carry[1]
+        if 'solver_resid' not in states:
+            return
+        resid = float(jnp.max(states['solver_resid']))
+        self.last_solver_resid = resid
+        tol = getattr(self, 'solver_check_tol', None)
+        if tol is not None and resid > tol:
+            raise RuntimeError(
+                f'eta solver ({getattr(self, "solver", "?")!r}, '
+                f'cg_iters={getattr(self, "cg_iters", "?")}) failed to '
+                f'converge during the run: worst per-draw relative '
+                f'residual {resid:.2e} exceeds solver_check_tol='
+                f'{tol:.0e}. The sampled draws may be biased — increase '
+                f'cg_iters (or pass solver_check_tol=None to bypass). '
+                f'The run is resumable from `self.final_carry`.'
+            )
+
     # ------------------------------------------------------------------ #
     # run driver
     # ------------------------------------------------------------------ #
@@ -531,6 +569,7 @@ class GibbsBase:
 
         #: resumable end-of-run carry (see docstring)
         self.final_carry = carry
+        self._check_run_solver_health(carry)
 
         merged = {}
         for name in tuple(self.posterior_names) + tuple(self.track):

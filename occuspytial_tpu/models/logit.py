@@ -273,11 +273,15 @@ class LogitICARGibbs(GibbsBase):
             # [Omega X cols, k, 1, y] blocked)
             rows = (self.n_beta + 3) if self.blocked else 2
             state['eta_warm'] = jnp.zeros((rows, self.n), self.dtype)
+            # running max of per-solve relative residuals (see
+            # _track_resid); checked on sample() return
+            state['solver_resid'] = jnp.zeros((), self.dtype)
         return state
 
     # ----------------- shared Lambda = tau*Q + diag(omega) ------------- #
 
-    def _lambda_solve(self, rhs, warm, omega, tau, fixed):
+    def _lambda_solve(self, rhs, warm, omega, tau, fixed,
+                      return_resid=False):
         """Solve Lambda X = rhs for stacked rows.
 
         Returns ``(sol, warm_next)``: the site-basis solutions plus the
@@ -285,17 +289,29 @@ class LogitICARGibbs(GibbsBase):
         warm-start from ``warm``; for the default XLA CG the carry lives
         in Q's eigenbasis (see ops/cg.py:icar_cg_solve_spectral — same
         shape, two matmuls per iteration instead of three), for every
-        other path it is the site-basis solution itself."""
+        other path it is the site-basis solution itself.
+
+        ``return_resid=True`` appends the solve's final relative
+        residual (scalar) for in-run health monitoring — see
+        :meth:`_track_resid`. The exact Cholesky path and the fused
+        Pallas CG (which does not expose its residual) report 0.0,
+        i.e. "not monitored"."""
         if self.solver == 'stencil':
-            sol = stencil.cg_solve(
-                self.lattice, fixed, rhs, warm, omega, tau, self.cg_iters
+            out = stencil.cg_solve(
+                self.lattice, fixed, rhs, warm, omega, tau,
+                self.cg_iters, return_resid=return_resid,
             )
-            return sol, sol
+            if return_resid:
+                return out[0], out[0], out[1]
+            return out, out
         if self.solver == 'graph':
-            sol = graph_ops.cg_solve(
-                self.graph, fixed, rhs, warm, omega, tau, self.cg_iters
+            out = graph_ops.cg_solve(
+                self.graph, fixed, rhs, warm, omega, tau, self.cg_iters,
+                return_resid=return_resid,
             )
-            return sol, sol
+            if return_resid:
+                return out[0], out[0], out[1]
+            return out, out
         if self.solver == 'cg':
             if self.cg_impl == 'pallas':
                 from ..ops.pallas_cg import icar_cg_solve_fused
@@ -305,17 +321,23 @@ class LogitICARGibbs(GibbsBase):
                     fixed['q_eigvecs'].astype(self.dtype),
                     fixed['q_eigvals'], self.cg_iters,
                 )
+                if return_resid:
+                    return sol, sol, jnp.zeros((), self.dtype)
                 return sol, sol
             from ..ops.cg import icar_cg_solve_spectral
 
             return icar_cg_solve_spectral(
                 rhs, warm, omega, tau,
                 fixed['q_eigvecs'], fixed['q_eigvals'], self.cg_iters,
+                return_resid=return_resid,
             )
         lam = tau * fixed['Q'] + jnp.diag(omega)
         chol = jnp.linalg.cholesky(lam)
         sol = jax.scipy.linalg.cho_solve((chol, True), rhs.T).T
+        if return_resid:
+            return sol, sol, jnp.zeros((), self.dtype)
         return sol, sol
+
 
     def _lambda_noise(self, key, tau, fixed):
         """sqrt(tau) * B eps with B B' = Q, per the configured solver."""
@@ -501,7 +523,10 @@ class LogitICARGibbs(GibbsBase):
         warm = state.get('eta_warm')
         if warm is None:
             warm = jnp.zeros_like(rhs)
-        sol, warm_next = self._lambda_solve(rhs, warm, omega_b, tau, fixed)
+        sol, warm_next, rel = self._lambda_solve(
+            rhs, warm, omega_b, tau, fixed, return_resid=True
+        )
+        self._track_resid(state, rel)
         g, gk, h, gp = sol[:p], sol[p], sol[p + 1], sol[p + 2]
         hsum = jnp.sum(h)
 
@@ -617,17 +642,19 @@ class LogitICARGibbs(GibbsBase):
         xb = fixed['X'] @ state['beta']
         b = state['k'] - omega_b * xb
         if self.solver == 'stencil':
-            eta, warm = stencil.constrained_mvnorm(
+            eta, warm, rel = stencil.constrained_mvnorm(
                 self.lattice, fixed, key, b, omega_b, tau,
-                state['eta_warm'], self.cg_iters,
+                state['eta_warm'], self.cg_iters, return_resid=True,
             )
             state['eta_warm'] = warm
+            self._track_resid(state, rel)
         elif self.solver == 'graph':
-            eta, warm = graph_ops.constrained_mvnorm(
+            eta, warm, rel = graph_ops.constrained_mvnorm(
                 self.graph, fixed, key, b, omega_b, tau,
-                state['eta_warm'], self.cg_iters,
+                state['eta_warm'], self.cg_iters, return_resid=True,
             )
             state['eta_warm'] = warm
+            self._track_resid(state, rel)
         elif self.solver == 'cg':
             # perturbed RHS y ~ N(b, Lambda) plus the constraint column,
             # solved through the shared dispatch (same math as
@@ -640,11 +667,13 @@ class LogitICARGibbs(GibbsBase):
                 k2, tau, fixed
             )
             rhs = jnp.stack([y, jnp.ones_like(y)])
-            sol, warm = self._lambda_solve(
-                rhs, state['eta_warm'], omega_b, tau, fixed
+            sol, warm, rel = self._lambda_solve(
+                rhs, state['eta_warm'], omega_b, tau, fixed,
+                return_resid=True,
             )
             eta = sum_to_zero(sol[0], sol[1])
             state['eta_warm'] = warm
+            self._track_resid(state, rel)
         else:
             eta = constrained_icar_mvnorm(
                 key, b, omega_b, tau, fixed['Q'], fixed['sqrt_factor']

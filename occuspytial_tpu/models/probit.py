@@ -653,8 +653,10 @@ class ProbitICARGibbs(_ProbitBase):
     def _init_state(self, key, fixed):
         state = super()._init_state(key, fixed)
         if self.solver in ('stencil', 'graph'):
-            # warm-start carry for the per-iteration [b, 1] CG solves
+            # warm-start carry for the per-iteration [b, 1] CG solves,
+            # plus the running residual max (base.py:_track_resid)
             state['eta_warm'] = jnp.zeros((2, self.n), self.dtype)
+            state['solver_resid'] = jnp.zeros((), self.dtype)
         return state
 
     def _update_eta(self, key, state, omega_b, tau, fixed):
@@ -664,18 +666,19 @@ class ProbitICARGibbs(_ProbitBase):
             # exactly N(0, 1), so omega = 1 everywhere
             ones = jnp.ones_like(b)
             if self.solver == 'stencil':
-                eta, warm = stencil.constrained_mvnorm(
+                eta, warm, rel = stencil.constrained_mvnorm(
                     self.lattice, fixed, key, b, ones, tau,
-                    state['eta_warm'], self.cg_iters,
+                    state['eta_warm'], self.cg_iters, return_resid=True,
                 )
             else:
-                eta, warm = graph_ops.constrained_mvnorm(
+                eta, warm, rel = graph_ops.constrained_mvnorm(
                     self.graph, fixed, key, b, ones, tau,
-                    state['eta_warm'], self.cg_iters,
+                    state['eta_warm'], self.cg_iters, return_resid=True,
                 )
             # caller keeps the mutated dict: _step passes its own state
             # dict in, so the warm start rides along the scan carry
             state['eta_warm'] = warm
+            self._track_resid(state, rel)
             return eta, eta
         eta = constrained_icar_mvnorm_unit(
             key, b, tau, fixed['q_eigvecs'], fixed['q_eigvals'],

@@ -26,12 +26,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def pcg(matvec, precond, b, x0, iters):
+def pcg(matvec, precond, b, x0, iters, return_resid=False):
     """Preconditioned CG: solve ``A x = b`` for each row of ``b``.
 
     Shapes: ``b``/``x0`` are (..., n); ``matvec``/``precond`` map
     (..., n) -> (..., n). Runs exactly ``iters`` iterations (static), with
     denominators clamped so converged systems stay frozen.
+
+    With ``return_resid=True`` also returns the final *relative residual*
+    scalar ``max_rows ||r_k|| / ||b||`` (recursively-updated residual —
+    the standard CG health metric; one extra reduction, no extra
+    matvec). The sampler carries a running max of this over the whole
+    run, restoring the reference's per-draw MINRES convergence guarantee
+    (reference gibbs/logit.py:91-92) for the fixed-budget solvers.
     """
     tiny = jnp.asarray(1e-30, b.dtype)
 
@@ -58,10 +65,16 @@ def pcg(matvec, precond, b, x0, iters):
     r0 = b - matvec(x0)
     z0 = precond(r0)
     rz0 = jnp.sum(r0 * z0, axis=-1, keepdims=True)
-    _, x, _, _, _ = lax.while_loop(
+    _, x, r, _, _ = lax.while_loop(
         cond, body, (jnp.asarray(0), x0, r0, z0, rz0)
     )
-    return x
+    if not return_resid:
+        return x
+    rel = jnp.sqrt(jnp.max(
+        jnp.sum(r * r, axis=-1)
+        / jnp.maximum(jnp.sum(b * b, axis=-1), tiny)
+    ))
+    return x, rel
 
 
 def icar_cg_solve(rhs, x0, omega, tau, q_dense, eigvecs, eigvals, iters):
@@ -112,7 +125,8 @@ def _mm(v, mat):
 
 
 def icar_cg_solve_spectral(
-    rhs, warm_spec, omega, tau, eigvecs, eigvals, iters
+    rhs, warm_spec, omega, tau, eigvecs, eigvals, iters,
+    return_resid=False,
 ):
     """Eigenbasis variant of :func:`icar_cg_solve`: 2 matmuls/iteration.
 
@@ -133,7 +147,10 @@ def icar_cg_solve_spectral(
     ``eigvecs`` may be stored bfloat16 (see :func:`_mm`): same per-pass
     rounding as the default TPU matmul precision, half the HBM traffic.
 
-    Returns ``(x_site, x_spec)``.
+    Returns ``(x_site, x_spec)``, or ``(x_site, x_spec, rel_resid)``
+    with ``return_resid=True`` (residual norms are measured in the
+    eigenbasis — identical to site-basis norms up to the orthogonal
+    transform's rounding).
     """
     cbar = jnp.mean(omega)
     dinv = 1.0 / (tau * eigvals + cbar)
@@ -145,5 +162,10 @@ def icar_cg_solve_spectral(
     def precond(r):
         return dinv * r
 
-    x_spec = pcg(matvec, precond, b_spec, warm_spec, iters)
+    out = pcg(matvec, precond, b_spec, warm_spec, iters,
+              return_resid=return_resid)
+    if return_resid:
+        x_spec, rel = out
+        return _mm(x_spec, eigvecs.T), x_spec, rel
+    x_spec = out
     return _mm(x_spec, eigvecs.T), x_spec

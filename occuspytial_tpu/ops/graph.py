@@ -362,9 +362,11 @@ def precond_apply(spec, fixed, tau, omega, r):
     )
 
 
-def cg_solve(spec, fixed, rhs, x0, omega, tau, iters):
+def cg_solve(spec, fixed, rhs, x0, omega, tau, iters,
+             return_resid=False):
     """Solve ``(tau*Q + diag(omega)) x = rhs`` matrix-free; rhs/x0 are
-    (rhs_count, n).
+    (rhs_count, n). With ``return_resid=True`` also returns the final
+    relative residual (see ops/cg.py:pcg).
 
     With a banded layout (``spec.block > 0``) the whole CG runs in the
     RCM-permuted space on the MXU tiles: rhs, warm start and omega are
@@ -404,8 +406,12 @@ def cg_solve(spec, fixed, rhs, x0, omega, tau, iters):
             def pc(r):
                 return r * jac
 
-        sol_p = pcg(mv, pc, to_p(rhs), to_p(x0), iters)
-        return jnp.take(sol_p, iperm, axis=-1)
+        out = pcg(mv, pc, to_p(rhs), to_p(x0), iters,
+                  return_resid=return_resid)
+        if return_resid:
+            sol_p, rel = out
+            return jnp.take(sol_p, iperm, axis=-1), rel
+        return jnp.take(out, iperm, axis=-1)
 
     def mv(v):
         return tau * matvec(fixed, v) + omega * v
@@ -413,14 +419,16 @@ def cg_solve(spec, fixed, rhs, x0, omega, tau, iters):
     def pc(v):
         return precond_apply(spec, fixed, tau, omega, v)
 
-    return pcg(mv, pc, rhs, x0, iters)
+    return pcg(mv, pc, rhs, x0, iters, return_resid=return_resid)
 
 
-def constrained_mvnorm(spec, fixed, key, b, omega, tau, warm, iters):
+def constrained_mvnorm(spec, fixed, key, b, omega, tau, warm, iters,
+                       return_resid=False):
     """Constrained eta draw (1'eta = 0) on an arbitrary graph.
 
     Same distribution as ops/mvnorm.py:constrained_icar_mvnorm with all
-    operators matrix-free. Returns ``(eta, new_warm)``.
+    operators matrix-free. Returns ``(eta, new_warm)``, plus the
+    solve's relative residual when ``return_resid=True``.
     """
     from .mvnorm import sum_to_zero
 
@@ -430,5 +438,10 @@ def constrained_mvnorm(spec, fixed, key, b, omega, tau, warm, iters):
         spec, fixed, k2, b.dtype
     )
     rhs = jnp.stack([y, jnp.ones_like(y)])
-    sol = cg_solve(spec, fixed, rhs, warm, omega, tau, iters)
+    out = cg_solve(spec, fixed, rhs, warm, omega, tau, iters,
+                   return_resid=return_resid)
+    if return_resid:
+        sol, rel = out
+        return sum_to_zero(sol[0], sol[1]), sol, rel
+    sol = out
     return sum_to_zero(sol[0], sol[1]), sol

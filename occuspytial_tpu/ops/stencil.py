@@ -218,9 +218,12 @@ def precond_apply(spec, fixed, tau, cbar, v):
     return out.reshape(v.shape)
 
 
-def cg_solve(spec, fixed, rhs, x0, omega, tau, iters):
+def cg_solve(spec, fixed, rhs, x0, omega, tau, iters,
+             return_resid=False):
     """Solve (tau*Q + diag(omega)) x = rhs matrix-free with DCT-
-    preconditioned CG; rhs/x0 are (rhs_count, n)."""
+    preconditioned CG; rhs/x0 are (rhs_count, n). With
+    ``return_resid=True`` also returns the final relative residual
+    (see ops/cg.py:pcg)."""
     from .cg import pcg
 
     cbar = jnp.mean(omega)
@@ -231,14 +234,16 @@ def cg_solve(spec, fixed, rhs, x0, omega, tau, iters):
     def pc(v):
         return precond_apply(spec, fixed, tau, cbar, v)
 
-    return pcg(mv, pc, rhs, x0, iters)
+    return pcg(mv, pc, rhs, x0, iters, return_resid=return_resid)
 
 
-def constrained_mvnorm(spec, fixed, key, b, omega, tau, warm, iters):
+def constrained_mvnorm(spec, fixed, key, b, omega, tau, warm, iters,
+                       return_resid=False):
     """Constrained eta draw (1'eta = 0) for the lattice ICAR model.
 
     Same distribution as ops/mvnorm.py:constrained_icar_mvnorm, all
-    operators matrix-free. Returns (eta, new_warm).
+    operators matrix-free. Returns (eta, new_warm), plus the solve's
+    relative residual when ``return_resid=True``.
     """
     from .mvnorm import sum_to_zero
 
@@ -249,5 +254,10 @@ def constrained_mvnorm(spec, fixed, key, b, omega, tau, warm, iters):
         spec, fixed['lat_deg'], k2, b.dtype
     )
     rhs = jnp.stack([y, jnp.ones_like(y)])
-    sol = cg_solve(spec, fixed, rhs, warm, omega, tau, iters)
+    out = cg_solve(spec, fixed, rhs, warm, omega, tau, iters,
+                   return_resid=return_resid)
+    if return_resid:
+        sol, rel = out
+        return sum_to_zero(sol[0], sol[1]), sol, rel
+    sol = out
     return sum_to_zero(sol[0], sol[1]), sol
