@@ -18,13 +18,16 @@ logit ICAR, 2: probit ICAR, 3: logit RSR, 5: 10k-site matrix-free stencil
 ICAR) then run until the ``BENCH_BUDGET_S`` deadline (default 840 s),
 writing BENCH_DETAIL.json incrementally after each config.
 
-All configs run through ONE persistent worker subprocess (``--worker``),
-because on this single-core host each fresh process pays 1 s–4 min of
-tunneled-backend init plus single-core XLA compiles — round 2's
-process-per-config design spent its entire budget on that overhead. The
-parent watchdogs the worker on heartbeat-line *activity* and relaunches
-it (for the remaining configs only) if it wedges; a config that still
-fails keeps its last committed measurement flagged ``stale``.
+Configs run through a ROTATING sequence of worker subprocesses
+(``--worker``), at most ``MAX_CONFIGS_PER_WORKER`` configs each: the
+axon tunnel poisons a process after a few dozen cumulative program
+executions (measured 2026-08-20 — every worker generation died with
+``INVALID_ARGUMENT`` on its 3rd-4th config; this is what zeroed round
+3), so the worker retires BEFORE the limit and the parent relaunches
+for the remainder (healthy re-init is ~10 s; compiles hit the
+persistent cache). The parent watchdogs each worker on heartbeat-line
+*activity* and relaunches on wedges/faults; a config that still fails
+keeps its last committed measurement flagged ``stale``.
 
 Floor results are cached in benchmarks/floor_cache.json (config-keyed,
 metric-tagged so a metric change invalidates stale entries).
@@ -172,11 +175,13 @@ def measure_floor_headline(dataset):
 
 def bench_config(name, sampler, size, burnin, chains, retries=2,
                  hb=log):
-    # one warmup + one timed run per config; on a transient runtime
-    # fault (round 2 saw INVALID_ARGUMENT after sustained dispatch
-    # through the tunnel) the in-process retry loop below re-runs the
-    # pair — the draws are seed-deterministic, so a retry measures the
-    # identical computation.
+    # one warmup + one timed run per config; a non-backend exception is
+    # retried in-process (the draws are seed-deterministic, so a retry
+    # measures the identical computation). A BACKEND fault is not: once
+    # the tunneled runtime throws INVALID_ARGUMENT, every later
+    # dispatch in this process fails instantly (measured 2026-08-20 —
+    # config 1's three in-process retries all died in <0.1 s), so the
+    # config fails fast and the worker exits for a fresh process.
     # single-dispatch timed run: each dispatch through the axon tunnel
     # costs ~100 ms of dead time (measured: chunk 128 -> 557 it/s,
     # chunk 3008 -> 1217 it/s on the headline config), so the whole
@@ -195,8 +200,12 @@ def bench_config(name, sampler, size, burnin, chains, retries=2,
                                   progressbar=False)
             wall = time.time() - t0
             break
-        except Exception as exc:  # transient tunnel/runtime errors
+        except Exception as exc:
             last = exc
+            if _is_backend_fault(str(exc)):
+                hb(f'{name}: backend fault ({exc}); failing fast — '
+                   f'this process cannot recover')
+                return {'config': name, 'error': str(last)}
             hb(f'{name}: attempt {attempt} failed ({exc}); retrying')
             time.sleep(5)
     else:
@@ -545,15 +554,28 @@ def run_one(which):
     print('RESULT ' + json.dumps(res), flush=True)
 
 
-def run_worker(configs):
-    """``--worker`` mode: ALL given configs sequentially in ONE process.
+#: configs a worker runs before retiring for a fresh process. The axon
+#: tunnel poisons a process after a few dozen cumulative program
+#: executions (measured 2026-08-20: every worker generation died with
+#: INVALID_ARGUMENT while running its 3rd-4th sampler config; 2 configs
+#: ~= 60% of that budget). Proactive rotation costs ~10 s of healthy
+#: re-init plus cache-hit compiles — far cheaper than the
+#: fail/retry/relaunch cycle a poisoned process forces.
+MAX_CONFIGS_PER_WORKER = 2
 
-    Pays the tunneled-backend init (1 s–4 min, single-core host) once
-    instead of once per config. Emits a flushed ``RESULT {json}`` line
-    per config the moment it completes, plus ``HB <stage>`` heartbeat
-    lines, so the parent can watchdog on line *activity* rather than
-    guessing a per-process wall budget. A config that raises is
-    reported as an error row and the worker moves on."""
+
+def run_worker(configs):
+    """``--worker`` mode: up to ``MAX_CONFIGS_PER_WORKER`` of the given
+    configs sequentially in ONE process, then a clean exit (the parent
+    relaunches for the remainder — see MAX_CONFIGS_PER_WORKER).
+
+    Emits a flushed ``RESULT {json}`` line per config the moment it
+    completes, plus ``HB <stage>`` heartbeat lines, so the parent can
+    watchdog on line *activity* rather than guessing a per-process wall
+    budget. A config that raises a non-backend error is reported as an
+    error row and the worker moves on; a BACKEND fault also makes the
+    worker exit immediately — after one, every remaining config in this
+    process would fail instantly anyway."""
     t0 = time.time()
 
     def hb(msg):
@@ -561,7 +583,11 @@ def run_worker(configs):
         log(f'[worker +{time.time() - t0:6.1f}s] {msg}')
 
     _init_jax(hb)
-    for which in configs:
+    for done, which in enumerate(configs):
+        if done >= MAX_CONFIGS_PER_WORKER:
+            hb(f'retiring after {done} configs (dispatch-budget '
+               f'rotation); parent relaunches for the rest')
+            return
         t_c = time.time()
 
         def stage(msg, which=which, t_c=t_c):
@@ -569,9 +595,12 @@ def run_worker(configs):
 
         try:
             res = compute_one(which, stage)
-        except BaseException as exc:  # report, keep the worker alive
+        except BaseException as exc:  # report, let the parent decide
             res = {'which': which, 'error': repr(exc)}
         print('RESULT ' + json.dumps(res), flush=True)
+        if _is_backend_fault(str(res.get('error', ''))):
+            hb('backend fault observed; exiting for a fresh process')
+            return
 
 
 #: time.time() of the last successful tunnel ping; a success within
@@ -846,9 +875,12 @@ def main():
         print_headline(head)
         flush_detail()
 
+    fresh_results = {'n': 0}
+
     def on_result(which, parsed):
         slot = SLOT_OF.get(which, which)
         if 'ess_per_sec' in parsed:
+            fresh_results['n'] += 1
             detail[slot] = parsed
             if which == '4':
                 print_headline(parsed)
@@ -868,6 +900,7 @@ def main():
     errored_once = {}  # config id -> retries consumed
     wedges = {}      # config id -> consecutive idle-kills while it was next
     cache_wiped = False
+    prev_batch_sick = False
     batch = 0
     # probe the tunnel BEFORE the first worker launch too (VERDICT r3
     # next-round #1c): launching a worker into a dead tunnel burns the
@@ -893,13 +926,22 @@ def main():
                     pend.remove('4')
                 time.sleep(20)
                 continue
+        base_fresh = fresh_results['n']
         pend, reason = run_worker_batch(pend, deadline, on_result)
-        if reason == 'backend' and not cache_wiped:
-            # backend-wide fault: a poisoned persistent-cache entry is
-            # the prime suspect (round 3's failure mode) — wipe once,
-            # then relaunch into a pinged tunnel
+        # A "sick" batch measured NOTHING and died of a backend fault /
+        # wedge. One sick batch = the known dispatch-count poisoning (a
+        # fresh process fixes it); two CONSECUTIVE sick batches mean a
+        # fresh process with a fresh tunnel session still fails — the
+        # persistent compilation cache is then the prime suspect
+        # (round 3's failure mode) and gets wiped, once.
+        batch_sick = (
+            fresh_results['n'] == base_fresh
+            and reason in ('backend', 'idle', 'exit')
+        )
+        if batch_sick and prev_batch_sick and not cache_wiped:
             wipe_jax_cache()
             cache_wiped = True
+        prev_batch_sick = batch_sick
         if reason == 'idle' and pend:
             # the config the worker was on when it wedged goes to the
             # END of the queue so the others get a chance this budget

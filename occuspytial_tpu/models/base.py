@@ -146,10 +146,15 @@ class GibbsBase:
         # to the first program that consumes the array, which serializes
         # a slow per-buffer upload into that program's execution —
         # measured 42-424 s (variable) for 22 MB of graph panels folded
-        # into the first solver call, vs 8 s when pre-touched here. An
-        # eager elementwise use is the reliable way to force it; the
-        # result is discarded, the inputs stay resident.
-        jax.block_until_ready(jax.tree.map(lambda v: v + 0, self.fixed))
+        # into the first solver call, vs 8 s when pre-touched here. The
+        # touch is ONE jitted program over the whole tree (result
+        # discarded, inputs stay resident) rather than an eager add per
+        # leaf: the axon runtime poisons a process after a few dozen
+        # cumulative program executions (measured 2026-08-20: worker
+        # dies after ~3 sampler configs, ~20 eager touches each), so
+        # every dispatch saved here directly extends process life.
+        touch = jax.jit(lambda t: jax.tree.map(lambda v: v + 0, t))
+        jax.block_until_ready(touch(self.fixed))
 
     # ------------------------------------------------------------------ #
     # configuration (host side, runs once)
