@@ -524,6 +524,12 @@ def compute_one(which, stage):
         s = LogitICARGibbs(
             sps.csr_matrix(Q5), W5, X5, y5, random_state=11,
             solver='graph',
+            # measured optimum of the 2026-08-20 (rank, iters) sweep
+            # (scripts/graph_sweep.py): 323 ESS/s at in-run residual
+            # 0.111 — inside the 0.2 guardrail; the library default
+            # (auto rank 384, 10 iters) keeps a 10x residual margin at
+            # 301 ESS/s
+            graph_rank=384, cg_iters=8,
         )
         res = bench_config(
             # burnin by measured convergence (same evidence as config 5:

@@ -82,7 +82,7 @@ class LogitICARGibbs(GibbsBase):
         dtype=jnp.float32, pg_method=None, solver=None, cg_iters=None,
         lattice=None, blocked=True, cg_impl=None, asis=True,
         asis_sd=1.2, asis_steps=12, asis_method='mh',
-        solver_check_tol=0.2, graph_rank=64, graph_block='auto',
+        solver_check_tol=0.2, graph_rank=None, graph_block='auto',
         spatial_sweeps=None, eig_dtype=None,
     ):
         if eig_dtype is None:
@@ -153,6 +153,16 @@ class LogitICARGibbs(GibbsBase):
                 "solver='stencil' requires the `lattice` argument"
             )
         n_sites = np.asarray(X).shape[0]
+        if graph_rank is None:
+            # deflation rank ~4% of the site count (capped): the
+            # 2026-08-20 sweep on the 10k-site lattice-as-graph problem
+            # (scripts/graph_sweep.py) shows the apply cost of the thin
+            # deflation matmuls is negligible through rank 384 while
+            # each step up in rank cuts the in-run residual ~3x at a
+            # fixed budget (rank 64/128/256 at 12 iters: 0.40 / 0.12 /
+            # 0.020) — i.e. rank buys budget. 384 @ 10 iters measures
+            # 301 ESS/s at residual 0.021 vs the old 64 @ 24's 209.
+            graph_rank = min(384, max(64, n_sites // 26))
         self.graph_rank = int(graph_rank)
         self.graph_block = graph_block
         self.graph = None
@@ -180,12 +190,16 @@ class LogitICARGibbs(GibbsBase):
             # - 'stencil' (DCT preconditioner): stationary residual
             #   2.4e-6 at 12 iterations on the 10k lattice; 15 has
             #   margin.
-            # - 'graph' (deflated Jacobi, weakest): measured COLD
-            #   worst-case relative residuals at 10k sites across tau
-            #   in [0.01, 1000]: 20 iters 2.4e-3, 24 iters 8.7e-4, 32
-            #   iters 1.1e-4 — 24 sits well under the f32 matmul noise
-            #   the dense paths already carry.
-            cg_iters = {'graph': 24, 'cg': 8}.get(self.solver, 15)
+            # - 'graph' (deflated Jacobi + rank-scaled deflation): the
+            #   2026-08-20 (rank, iters) sweep at 10k sites shows
+            #   ESS/s is ~pure iteration count while the deflation rank
+            #   sets the residual, so the budget rides on the auto rank
+            #   policy above: at rank 384, 10 iters measures in-run
+            #   residual max 0.021 (10x under the 0.2 guardrail) and
+            #   301 ESS/s — 1.44x the old (rank 64, 24 iters) point.
+            #   Harder graphs that starve 10 trip the cold-start check
+            #   or the in-run monitor loudly.
+            cg_iters = {'graph': 10, 'cg': 8}.get(self.solver, 15)
         self.cg_iters = int(cg_iters)
         if self.spatial_sweeps is None:
             # measured policy (TPU), per solver regime. 'cg' (mid-size

@@ -541,7 +541,7 @@ class ProbitICARGibbs(_ProbitBase):
     def __init__(
         self, Q, W, X, y, hparams=None, random_state=None,
         dtype=jnp.float32, solver=None, cg_iters=None, lattice=None,
-        graph_rank=64, graph_block='auto', solver_check_tol=0.2,
+        graph_rank=None, graph_block='auto', solver_check_tol=0.2,
         **kwargs,
     ):
         from .logit import _GRAPH_AUTO_THRESHOLD
@@ -570,13 +570,18 @@ class ProbitICARGibbs(_ProbitBase):
                 else 'spectral'
             )
         self.solver = solver
+        if graph_rank is None:
+            # rank-scaled deflation, same measured policy as the logit
+            # sampler (models/logit.py __init__: rank buys budget)
+            n_sites = int(np.asarray(X).shape[0])
+            graph_rank = min(384, max(64, n_sites // 26))
         self.graph_rank = int(graph_rank)
         self.graph_block = graph_block
         self.graph = None
         if cg_iters is None:
             # graph-path budget calibration in models/logit.py; the
             # probit system (omega = 1) is better conditioned still
-            cg_iters = 24 if solver == 'graph' else 15
+            cg_iters = 10 if solver == 'graph' else 15
         self.cg_iters = int(cg_iters)
         self.solver_check_tol = solver_check_tol
         self._solver_checked = False
