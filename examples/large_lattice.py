@@ -5,6 +5,12 @@ eigendecomposition minutes; declaring the lattice instead switches the
 sampler to the stencil solver — O(n) setup, matrix-free matvecs, a
 DCT-symbol preconditioner — and nothing else about the API changes.
 
+The same path scales near-linearly to 100k+ sites on one chip:
+measured 2026-08-20 on one TPU v5e, a 320x320 lattice (102,400 sites,
+20,000 surveyed) samples 8 chains at 61.5 it/s with solver residual
+3e-6 after a 12 s setup — swap ROWS = COLS = 320, ns = 20000 below to
+reproduce (see docs/design.md for the measurement).
+
 Run with:  python examples/large_lattice.py
 (~1 minute including one-time compilation; fastest on TPU.)
 """
