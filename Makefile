@@ -11,6 +11,13 @@ test:
 
 check: lint test
 
+# `make check` with the evidence stamped by the commit it certifies and
+# written to CHECK.log (the per-round committed record)
+check-log:
+	@{ echo "HEAD: $$(git rev-parse HEAD)  ($$(date -u +%FT%TZ))"; \
+	python scripts/lint.py; echo "lint rc=$$?"; \
+	python -m pytest tests/ -q; echo "pytest rc=$$?"; } 2>&1 | tee CHECK.log
+
 # validates the default TPU sampler path on real hardware (TPU_CHECK.log)
 tpu-check:
 	python scripts/tpu_check.py

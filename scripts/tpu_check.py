@@ -113,7 +113,19 @@ def run(cmd, env=None, timeout=1800):
 
 
 def main():
-    lines = [f'# TPU validation lane — {time.strftime("%Y-%m-%d %H:%M:%S")}']
+    # stamp the evidence with the exact commit it certifies (VERDICT r3
+    # next-round #3: logs that predate HEAD certify nothing)
+    try:
+        head = subprocess.run(
+            ['git', 'rev-parse', 'HEAD'], cwd=HERE, capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = 'unknown'
+    lines = [
+        f'# TPU validation lane — {time.strftime("%Y-%m-%d %H:%M:%S")}',
+        f'# HEAD: {head}',
+    ]
     ok = True
 
     env = dict(os.environ, OCCU_TPU_TESTS='1')
