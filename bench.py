@@ -705,10 +705,18 @@ def run_worker_batch(configs, deadline, on_result, idle_cap=300.0):
 
     pend = list(configs)
     log(f'worker: launching for configs [{",".join(pend)}]')
+    # test seam: BENCH_WORKER_CMD substitutes a scripted worker so the
+    # harvest/watchdog/fault-classification logic is unit-testable
+    # without a device (tests/test_bench_harness.py)
+    override = os.environ.get('BENCH_WORKER_CMD')
+    if override:
+        cmd = override.split() + [','.join(pend)]
+    else:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               '--worker', ','.join(pend)]
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__),
-         '--worker', ','.join(pend)],
-        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, cwd=HERE,
+        cmd, stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+        cwd=HERE,
     )
     lines = queue.Queue()
 
