@@ -51,6 +51,19 @@ _CG_AUTO_THRESHOLD = 512
 _GRAPH_AUTO_THRESHOLD = 4096
 
 
+def auto_graph_rank(n_sites):
+    """Default deflation-basis rank for the graph solver: ~4% of the
+    site count, floored at 64 and capped at 384.
+
+    Measured policy (2026-08-20 sweep on the 10k-site lattice-as-graph
+    problem, scripts/graph_sweep.py): the thin deflation matmuls cost
+    ~nothing through rank 384 while each step up in rank cuts the
+    fixed-budget CG residual ~3x — rank buys iteration budget. Shared
+    by the logit and probit graph regimes.
+    """
+    return min(384, max(64, int(n_sites) // 26))
+
+
 class LogitICARGibbs(GibbsBase):
     """Gibbs sampler using logit link and the ICAR spatial model.
 
@@ -154,15 +167,7 @@ class LogitICARGibbs(GibbsBase):
             )
         n_sites = np.asarray(X).shape[0]
         if graph_rank is None:
-            # deflation rank ~4% of the site count (capped): the
-            # 2026-08-20 sweep on the 10k-site lattice-as-graph problem
-            # (scripts/graph_sweep.py) shows the apply cost of the thin
-            # deflation matmuls is negligible through rank 384 while
-            # each step up in rank cuts the in-run residual ~3x at a
-            # fixed budget (rank 64/128/256 at 12 iters: 0.40 / 0.12 /
-            # 0.020) — i.e. rank buys budget. 384 @ 10 iters measures
-            # 301 ESS/s at residual 0.021 vs the old 64 @ 24's 209.
-            graph_rank = min(384, max(64, n_sites // 26))
+            graph_rank = auto_graph_rank(n_sites)
         self.graph_rank = int(graph_rank)
         self.graph_block = graph_block
         self.graph = None

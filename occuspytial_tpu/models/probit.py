@@ -571,10 +571,9 @@ class ProbitICARGibbs(_ProbitBase):
             )
         self.solver = solver
         if graph_rank is None:
-            # rank-scaled deflation, same measured policy as the logit
-            # sampler (models/logit.py __init__: rank buys budget)
-            n_sites = int(np.asarray(X).shape[0])
-            graph_rank = min(384, max(64, n_sites // 26))
+            from .logit import auto_graph_rank
+
+            graph_rank = auto_graph_rank(np.asarray(X).shape[0])
         self.graph_rank = int(graph_rank)
         self.graph_block = graph_block
         self.graph = None

@@ -109,3 +109,26 @@ def test_chol_solver_not_monitored(dataset):
     s = LogitICARGibbs(Q, W, X, y, random_state=5, solver='chol')
     carry = s.init_carry(chains=2)
     assert 'solver_resid' not in carry[1]
+
+
+def test_auto_graph_rank_policy():
+    """Rank-scaled deflation: ~4% of sites, floored 64, capped 384
+    (measured policy — see models/logit.py:auto_graph_rank)."""
+    from occuspytial_tpu.models.logit import auto_graph_rank
+
+    assert auto_graph_rank(256) == 64        # floor
+    assert auto_graph_rank(2600) == 100      # ~4%
+    assert auto_graph_rank(10000) == 384     # cap (10000 // 26 = 384)
+    assert auto_graph_rank(100000) == 384    # cap
+
+
+def test_explicit_graph_rank_zero_disables(dataset):
+    import scipy.sparse as sps
+
+    from occuspytial_tpu.ops.icar import lattice_precision
+
+    Qs = sps.csr_matrix(lattice_precision(16, 16, 8))
+    _, W, X, y = dataset
+    s = LogitICARGibbs(Qs, W, X, y, random_state=5, solver='graph',
+                       graph_rank=0, cg_iters=40)
+    assert s.graph.deflate == 0
