@@ -889,7 +889,7 @@ def main():
         print_headline(head)
         flush_detail()
 
-    fresh_results = {'n': 0}
+    fresh_results = {'n': 0, 'backend_errs': 0}
 
     def on_result(which, parsed):
         slot = SLOT_OF.get(which, which)
@@ -901,6 +901,8 @@ def main():
         else:
             log(f'config {which}: worker reported error: '
                 f'{parsed.get("error")}')
+            if _is_backend_fault(str(parsed.get('error') or '')):
+                fresh_results['backend_errs'] += 1
             if (prior.get(slot, {}).get('ess_per_sec', 0.0) > 0.0
                     and not prior[slot].get('stale')):
                 detail[slot] = dict(prior[slot], stale=True,
@@ -941,16 +943,23 @@ def main():
                 time.sleep(20)
                 continue
         base_fresh = fresh_results['n']
+        base_backend_errs = fresh_results['backend_errs']
         pend, reason = run_worker_batch(pend, deadline, on_result)
         # A "sick" batch measured NOTHING and died of a backend fault /
         # wedge. One sick batch = the known dispatch-count poisoning (a
         # fresh process fixes it); two CONSECUTIVE sick batches mean a
         # fresh process with a fresh tunnel session still fails — the
         # persistent compilation cache is then the prime suspect
-        # (round 3's failure mode) and gets wiped, once.
+        # (round 3's failure mode) and gets wiped, once. A clean 'exit'
+        # whose error rows were all config-local (none matched
+        # _is_backend_fault) is NOT sick: a worker retiring after
+        # genuine per-config errors says nothing about the backend, and
+        # counting it would wipe the compilation cache for no reason.
         batch_sick = (
             fresh_results['n'] == base_fresh
-            and reason in ('backend', 'idle', 'exit')
+            and (reason in ('backend', 'idle')
+                 or (reason == 'exit'
+                     and fresh_results['backend_errs'] > base_backend_errs))
         )
         if batch_sick and prev_batch_sick and not cache_wiped:
             wipe_jax_cache()

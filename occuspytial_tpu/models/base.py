@@ -154,7 +154,11 @@ class GibbsBase:
         # dies after ~3 sampler configs, ~20 eager touches each), so
         # every dispatch saved here directly extends process life.
         touch = jax.jit(lambda t: jax.tree.map(lambda v: v + 0, t))
-        jax.block_until_ready(touch(self.fixed))
+        # block_until_ready is a silent no-op on the tunneled runtime
+        # (see _force_completion) — a one-element readback is the only
+        # barrier that actually guarantees the uploads completed here
+        # rather than merely being ordered before the next program.
+        _force_completion(touch(self.fixed))
 
     # ------------------------------------------------------------------ #
     # configuration (host side, runs once)

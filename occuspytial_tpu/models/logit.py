@@ -198,13 +198,20 @@ class LogitICARGibbs(GibbsBase):
             # - 'graph' (deflated Jacobi + rank-scaled deflation): the
             #   2026-08-20 (rank, iters) sweep at 10k sites shows
             #   ESS/s is ~pure iteration count while the deflation rank
-            #   sets the residual, so the budget rides on the auto rank
-            #   policy above: at rank 384, 10 iters measures in-run
-            #   residual max 0.021 (10x under the 0.2 guardrail) and
-            #   301 ESS/s — 1.44x the old (rank 64, 24 iters) point.
-            #   Harder graphs that starve 10 trip the cold-start check
-            #   or the in-run monitor loudly.
-            cg_iters = {'graph': 10, 'cg': 8}.get(self.solver, 15)
+            #   sets the residual, so the budget is paired with the
+            #   RESOLVED rank (auto or caller-passed): at rank 384, 10
+            #   iters measures in-run residual max 0.021 (10x under the
+            #   0.2 guardrail) and 301 ESS/s — 1.44x the old (rank 64,
+            #   24 iters) point. A weak basis (rank < 256, e.g. a
+            #   caller passing the old default 64) keeps the old
+            #   24-iteration budget: the same sweep shows rank 64 needs
+            #   ~24 iters to hold the residual near 8.7e-4. Harder
+            #   graphs that starve either budget trip the cold-start
+            #   check or the in-run monitor loudly.
+            if self.solver == 'graph':
+                cg_iters = 10 if self.graph_rank >= 256 else 24
+            else:
+                cg_iters = {'cg': 8}.get(self.solver, 15)
         self.cg_iters = int(cg_iters)
         if self.spatial_sweeps is None:
             # measured policy (TPU), per solver regime. 'cg' (mid-size

@@ -578,9 +578,14 @@ class ProbitICARGibbs(_ProbitBase):
         self.graph_block = graph_block
         self.graph = None
         if cg_iters is None:
-            # graph-path budget calibration in models/logit.py; the
+            # graph-path budget calibration in models/logit.py (paired
+            # with the RESOLVED deflation rank — a weak caller-passed
+            # basis keeps the conservative 24-iteration budget); the
             # probit system (omega = 1) is better conditioned still
-            cg_iters = 10 if solver == 'graph' else 15
+            if solver == 'graph':
+                cg_iters = 10 if self.graph_rank >= 256 else 24
+            else:
+                cg_iters = 15
         self.cg_iters = int(cg_iters)
         self.solver_check_tol = solver_check_tol
         self._solver_checked = False

@@ -34,15 +34,19 @@ SIZE, BURNIN, CHAINS = 1024, 128, 16
 def main():
     import jax
 
-    jax.config.update(
-        'jax_compilation_cache_dir', os.path.join(HERE, '.jax_cache_sweep')
-    )
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     import numpy as np
     import scipy.sparse as sps
 
-    from bench import make_lattice_dataset, min_ess_per_param
+    from bench import _cache_dir, make_lattice_dataset, min_ess_per_param
+
+    # _cache_dir fingerprints jax/jaxlib + the live backend's platform
+    # version, so stale entries from another runtime can never be read
+    # back (the failure bench.py's versioned dir exists to prevent);
+    # first device contact must happen before the fingerprint is taken.
+    jax.devices()
+    jax.config.update('jax_compilation_cache_dir', _cache_dir())
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     from occuspytial_tpu import LogitICARGibbs
 
     if len(sys.argv) > 1:

@@ -22,14 +22,17 @@ sys.path.insert(0, HERE)
 def main():
     import jax
 
-    jax.config.update(
-        'jax_compilation_cache_dir', os.path.join(HERE, '.jax_cache_sweep')
-    )
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     import numpy as np
 
-    from bench import HEAD, min_ess_per_param
+    from bench import HEAD, _cache_dir, min_ess_per_param
+
+    # Versioned cache dir (jax/jaxlib + backend platform fingerprint) —
+    # the hardcoded unversioned dir this replaced is exactly the
+    # stale-cache poisoning failure bench._cache_dir() was built to fix.
+    jax.devices()
+    jax.config.update('jax_compilation_cache_dir', _cache_dir())
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
     from occuspytial_tpu import LogitICARGibbs
     from occuspytial_tpu.utils import make_data
 
