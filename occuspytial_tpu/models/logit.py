@@ -319,9 +319,9 @@ class LogitICARGibbs(GibbsBase):
 
         ``return_resid=True`` appends the solve's final relative
         residual (scalar) for in-run health monitoring — see
-        :meth:`_track_resid`. The exact Cholesky path and the fused
-        Pallas CG (which does not expose its residual) report 0.0,
-        i.e. "not monitored"."""
+        :meth:`_track_resid`. Every iterative path (including the fused
+        Pallas CG) reports its true residual; only the exact Cholesky
+        path reports 0.0, i.e. "exact, nothing to monitor"."""
         if self.solver == 'stencil':
             out = stencil.cg_solve(
                 self.lattice, fixed, rhs, warm, omega, tau,
@@ -342,14 +342,14 @@ class LogitICARGibbs(GibbsBase):
             if self.cg_impl == 'pallas':
                 from ..ops.pallas_cg import icar_cg_solve_fused
 
-                sol = icar_cg_solve_fused(
+                # same warm-start contract as the XLA spectral path:
+                # the carry is the solution in Q's eigenbasis
+                return icar_cg_solve_fused(
                     rhs, warm, omega, tau,
                     fixed['q_eigvecs'].astype(self.dtype),
                     fixed['q_eigvals'], self.cg_iters,
+                    return_resid=return_resid,
                 )
-                if return_resid:
-                    return sol, sol, jnp.zeros((), self.dtype)
-                return sol, sol
             from ..ops.cg import icar_cg_solve_spectral
 
             return icar_cg_solve_spectral(
