@@ -73,10 +73,11 @@ class LogitICARGibbs(GibbsBase):
     TPU extras: ``pg_method`` selects the Pólya-Gamma sampler
     ('devroye' = exact rejection, 'gamma' = truncated-series with exact
     tail-mean correction, 'pallas' = exact rejection as a fused on-core
-    TPU kernel with per-chain streams, 'pallas_packed' = the same kernel
-    packed across the vmapped chain batch — fastest on TPU, draws are a
-    function of the whole key batch; see ops/polyagamma.py,
-    ops/pallas_pg.py);
+    TPU kernel, 'pallas_packed' = the same kernel with several chains
+    grouped per grid block — fastest on TPU; both Pallas variants keep
+    the per-chain key contract: a chain's draws are a function of its
+    own key alone, invariant to batch size/order; see
+    ops/polyagamma.py, ops/pallas_pg.py);
     ``solver`` selects the eta linear solver ('chol' = exact dense
     Cholesky, 'cg' = warm-started spectrally-preconditioned CG — the TPU
     analog of the reference's warm-started MINRES, gibbs/logit.py:80-92,
@@ -138,9 +139,10 @@ class LogitICARGibbs(GibbsBase):
             raise ValueError(f'unknown cg_impl: {cg_impl!r}')
         self.cg_impl = cg_impl
         if pg_method is None:
-            # fused on-core kernel on TPU (packed across the vmapped
-            # chain batch — see ops/pallas_pg.py:_pg_core_packed_vmap
-            # for the key-contract trade-off); portable sampler
+            # fused on-core kernel on TPU (chains grouped per grid
+            # block with per-chain seeding — the packing perf without
+            # the old whole-batch key coupling, see
+            # ops/pallas_pg.py:_pg_kernel_grouped); portable sampler
             # elsewhere
             pg_method = (
                 'pallas_packed' if jax.default_backend() == 'tpu'

@@ -94,37 +94,76 @@ def test_packed_moments_and_determinism():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_packed_key_batch_sensitivity():
-    """Packed draws are a function of the whole key batch: changing ANY
-    chain's key, or permuting the batch, changes the draws; XOR-colliding
-    batches do not alias (the block seeds mix per-chain hashes, not raw
-    XORs)."""
+def test_packed_per_chain_key_contract():
+    """Packed draws keep the per-chain key contract (VERDICT r4 weak
+    #5): a chain's draws are a function of its own key alone — changing
+    another chain's key, permuting the batch, or growing the batch
+    leaves it bit-identical."""
     from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas_packed
 
-    z = jnp.ones((8, 640))
+    z_row = jnp.linspace(-2.0, 2.0, 640)
+    z = jnp.broadcast_to(z_row, (8, 640))
     keys = jax.random.split(jax.random.key(5), 8)
-    base = np.asarray(jax.vmap(pg_devroye_pallas_packed)(keys, z))
+    f = jax.jit(jax.vmap(pg_devroye_pallas_packed))
+    base = np.asarray(f(keys, z))
 
-    # change one chain's key
+    # change one chain's key: only that chain's draws change
     keys2 = keys.at[3].set(jax.random.key(999))
-    d2 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(keys2, z))
-    assert not np.array_equal(base, d2)
+    d2 = np.asarray(f(keys2, z))
+    for i in range(8):
+        if i == 3:
+            assert not np.allclose(base[i], d2[i])
+        else:
+            np.testing.assert_array_equal(base[i], d2[i])
 
-    # permute the batch
-    d3 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(keys[::-1], z))
-    assert not np.array_equal(base, d3)
+    # permute the batch: draws follow their keys
+    d3 = np.asarray(f(keys[::-1], z))
+    np.testing.assert_array_equal(base[::-1], d3)
 
-    # XOR-colliding pair batches: {a, b} vs {a^x, b^x} share the raw
-    # XOR of key words; mixed seeds must still differ
-    import jax.random as jr
+    # grow the batch 8 -> 9 (and past a block-group boundary with 33):
+    # every pre-existing chain is unchanged
+    for n_new in (9, 33):
+        keys_big = jnp.concatenate(
+            [keys, jax.random.split(jax.random.key(123), n_new - 8)]
+        )
+        zb = jnp.broadcast_to(z_row, (n_new, 640))
+        big = np.asarray(
+            jax.vmap(pg_devroye_pallas_packed)(keys_big, zb)
+        )
+        np.testing.assert_array_equal(base, big[:8])
 
-    ka, kb = jr.key_data(keys[0]), jr.key_data(keys[1])
-    x = np.uint32(0xDEADBEEF)
-    kc = jr.wrap_key_data((ka ^ x).astype(ka.dtype))
-    kd = jr.wrap_key_data((kb ^ x).astype(kb.dtype))
-    pair1 = jnp.stack([keys[0], keys[1]])
-    pair2 = jnp.stack([kc, kd])
-    z2 = jnp.ones((2, 640))
-    p1 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(pair1, z2))
-    p2 = np.asarray(jax.vmap(pg_devroye_pallas_packed)(pair2, z2))
-    assert not np.array_equal(p1, p2)
+
+def test_packed_distinct_chain_streams():
+    """Distinct keys give distinct streams; equal keys give equal
+    draws (the per-chain contract's other face)."""
+    from occuspytial_tpu.ops.pallas_pg import pg_devroye_pallas_packed
+
+    z = jnp.ones((4, 640))
+    keys = jax.random.split(jax.random.key(7), 4)
+    keys = keys.at[2].set(keys[1])
+    d = np.asarray(jax.vmap(pg_devroye_pallas_packed)(keys, z))
+    np.testing.assert_array_equal(d[1], d[2])
+    assert not np.allclose(d[0], d[1])
+    assert not np.allclose(d[1], d[3])
+
+
+def test_sampler_chain0_invariant_to_chain_count_tpu():
+    """End-to-end on hardware with the TPU-default pg_method
+    ('pallas_packed'): growing the chain batch 16 -> 17 leaves every
+    pre-existing chain's draws bit-identical (VERDICT r4 next-round #6
+    'done' criterion)."""
+    from occuspytial_tpu import LogitICARGibbs
+    from occuspytial_tpu.utils import make_data
+
+    Q, W, X, y, *_ = make_data(n=300, ns=200, random_state=5)
+
+    def run(chains):
+        s = LogitICARGibbs(Q, W, X, y, random_state=5)
+        assert s.pg_method == 'pallas_packed'
+        return s.sample(32, chains=chains, progressbar=False)
+
+    a, b = run(16), run(17)
+    for name in ('alpha', 'beta', 'tau'):
+        np.testing.assert_array_equal(
+            np.asarray(a[name])[:16], np.asarray(b[name])[:16]
+        )

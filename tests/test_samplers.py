@@ -491,3 +491,22 @@ def test_auto_scan_chunk_policy(monkeypatch):
     expect = budget // (64 * 1000 * 4)
     assert s._resolve_chunk(100000, False, state0) == expect
     del jax
+
+
+@parametrized_samplers
+def test_chain0_invariant_to_chain_count(sampler_class):
+    """A seeded run's chain-0 draws are unchanged when the chain count
+    grows (VERDICT r4 next-round #6): per-chain keys come from a
+    prefix-stable split and every per-chain kernel (including the
+    TPU-default packed PG, tested on the hardware lane) draws from that
+    chain's key alone."""
+    a = sampler_class(Q, W, X, y, random_state=11).sample(
+        6, chains=2, progressbar=False
+    )
+    b = sampler_class(Q, W, X, y, random_state=11).sample(
+        6, chains=3, progressbar=False
+    )
+    for name in ('alpha', 'beta', 'tau'):
+        np.testing.assert_array_equal(
+            np.asarray(a[name])[:2], np.asarray(b[name])[:2]
+        )
