@@ -39,6 +39,16 @@ def shard_chains(tree, mesh):
 #: fixed-model arrays whose leading axis is the site axis (or the
 #: lattice-row axis, which the 1-D site order subdivides contiguously)
 _SITE_FIXED = ('X', 'obs', 'surveyed', 'lat_deg')
+#: graph-solver fixed arrays whose leading axis is the site axis in
+#: ORIGINAL ordering (ops/graph.py ELL panels + deflation basis)
+_GRAPH_SITE_FIXED = ('gr_deg', 'gr_idx', 'gr_w', 'gr_defl_vecs')
+#: graph-solver fixed arrays whose leading axis is the RCM-permuted,
+#: padded site/block axis (the banded CG's operand space): the
+#: block-tridiagonal panels shard over their block axis into contiguous
+#: runs — exactly the layout parallel/sharded_graph.py hand-optimizes —
+#: and the permuted companions over the padded site axis
+_GRAPH_PERM_FIXED = ('gr_bd_diag', 'gr_bd_sub', 'gr_bd_sup', 'gr_deg_p',
+                     'gr_defl_vecs_p')
 #: state entries laid out (chains, n_sites)
 _SITE_STATE = ('z', 'k', 'eta', 'spatial', 'eps', 'omega_b')
 
@@ -50,14 +60,24 @@ def shard_sampler_2d(sampler, carry, mesh):
     the latent-field dimension is the scaling axis). Rather than hand-
     writing a distributed Gibbs step, the *same* compiled
     ``scan(vmap(step))`` program is partitioned by GSPMD: site-indexed
-    model arrays (design matrix, lattice degree grid, site masks) are
-    laid out over ``'sites'``, per-chain state over ``'chains'`` with its
-    site dimension over ``'sites'``, and XLA inserts the halo exchanges /
-    psum reductions the stencil matvecs and X'.. contractions need.
-    Returns the sharded carry; ``sampler.fixed`` is re-laid in place.
+    model arrays (design matrix, lattice degree grid, site masks, graph
+    neighbor panels, banded block panels) are laid out over ``'sites'``,
+    per-chain state over ``'chains'`` with its site dimension over
+    ``'sites'``, and XLA inserts the halo exchanges / psum reductions
+    the matvecs and X'.. contractions need. Returns the sharded carry;
+    ``sampler.fixed`` is re-laid in place.
 
-    Requires a lattice/stencil-style sampler whose site count divides the
-    ``'sites'`` mesh extent (contiguous row bands).
+    Supports the lattice/stencil samplers (contiguous row bands; the
+    ``'sites'`` extent must divide the lattice rows) and the
+    arbitrary-graph samplers (``solver='graph'``, logit or probit): the
+    block-tridiagonal panels shard over their block axis — the same
+    contiguous-block-run layout parallel/sharded_graph.py uses, so the
+    banded CG's halo traffic rides neighbor links — while the one-off
+    ELL/edge operators (noise scatter, quad_form gather) keep global
+    operands that GSPMD serves with an all-gather of one (n,)-vector
+    per chain, negligible next to the per-iteration CG panels. The
+    reference serves irregular graphs only on a single core (sparse
+    MINRES, reference gibbs/logit.py:80-92).
     """
     n = sampler.n
     rows = getattr(getattr(sampler, 'lattice', None), 'rows', None)
@@ -67,13 +87,28 @@ def shard_sampler_2d(sampler, carry, mesh):
             f"the 'sites' mesh extent {n_site_shards} must divide the "
             f'site count {n} (and the lattice rows {rows})'
         )
+    gspec = getattr(sampler, 'graph', None)
+    if gspec is not None and gspec.block:
+        nb = gspec.n_pad // gspec.block
+        if nb % n_site_shards:
+            raise ValueError(
+                f"the 'sites' mesh extent {n_site_shards} must divide "
+                f'the banded layout block count {nb} (site count '
+                f'{gspec.n_pad} / block {gspec.block}); rebuild with '
+                f'graph_block set to a tile size that yields a '
+                f'divisible block count'
+            )
 
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     fixed = {}
     for name, leaf in sampler.fixed.items():
-        if name in _SITE_FIXED and np.ndim(leaf) >= 1:
+        if (
+            name in _SITE_FIXED
+            or name in _GRAPH_SITE_FIXED
+            or name in _GRAPH_PERM_FIXED
+        ) and np.ndim(leaf) >= 1:
             spec = P('sites', *([None] * (np.ndim(leaf) - 1)))
         else:
             spec = P()
