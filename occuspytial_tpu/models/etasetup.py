@@ -49,17 +49,30 @@ def setup_stencil(lattice, Q, n):
     return stencil.setup(lattice)
 
 
-def setup_graph(Q, n, rank, block):
+def setup_graph(Q, n, rank, block, basis_dtype=None):
     """Flatten a sparse/dense precision into graph panels; return
     ``(spec, arrays)``.
 
     One-time host-side analog of the reference's sparse MINRES setup
     (gibbs/logit.py:80-92); structural validation (symmetry, CAR sign
     pattern, diagonal dominance) happens inside ``graph_ops.build``.
+
+    ``basis_dtype`` sets the STORAGE dtype of the deflation basis
+    (``gr_defl_vecs``/``gr_defl_vecs_p``) — bfloat16 on TPU halves the
+    bytes of the preconditioner's dominant HBM stream (see
+    ops/graph.py:_deflated_jacobi). The basis only shapes the
+    preconditioner, never the operator, so unlike the banded Q panels
+    (which must stay f32 for the ICAR row-sum cancellation) rounding it
+    is safe at any tau. Non-float dtypes survive the sampler's fixed-
+    tree cast because ml_dtypes' bfloat16 has numpy kind 'V'.
     """
     spec, arrays = graph_ops.build(Q, deflate=rank, block=block)
     if spec.n != n:
         raise ValueError(
             f'Q is {spec.n}x{spec.n} but X has {n} sites'
         )
+    if basis_dtype is not None:
+        for key in ('gr_defl_vecs', 'gr_defl_vecs_p'):
+            if key in arrays:
+                arrays[key] = jnp.asarray(arrays[key], basis_dtype)
     return spec, arrays

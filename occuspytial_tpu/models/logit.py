@@ -52,16 +52,23 @@ _GRAPH_AUTO_THRESHOLD = 4096
 
 
 def auto_graph_rank(n_sites):
-    """Default deflation-basis rank for the graph solver: ~4% of the
-    site count, floored at 64 and capped at 384.
+    """Default deflation-basis rank for the graph solver: ~5% of the
+    site count rounded to a 64 multiple, floored at 64, capped at 512.
 
-    Measured policy (2026-08-20 sweep on the 10k-site lattice-as-graph
+    Measured policy (2026-08-20 sweeps on the 10k-site lattice-as-graph
     problem, scripts/graph_sweep.py): the thin deflation matmuls cost
-    ~nothing through rank 384 while each step up in rank cuts the
-    fixed-budget CG residual ~3x — rank buys iteration budget. Shared
-    by the logit and probit graph regimes.
+    ~nothing through rank 512 while each step up in rank cuts the
+    fixed-budget CG residual severalfold — rank buys iteration budget.
+    The round-5 sweep moved the optimum from (384, 10) to (512, 7):
+    326.7 it/s vs 300 on the 10k config at in-run residual max 0.066
+    (3x under the guardrail; 384 needs 10 iters to reach 0.018, and
+    (512, 6)'s 0.151 leaves too little margin for harder seeds).
+    Shared by the logit and probit graph regimes; the basis is stored
+    bfloat16 on TPU (preconditioner-only rounding, halves its HBM
+    footprint — measured speed-neutral).
     """
-    return min(384, max(64, int(n_sites) // 26))
+    raw = max(64, int(n_sites) // 20)
+    return min(512, ((raw + 63) // 64) * 64)
 
 
 class LogitICARGibbs(GibbsBase):
@@ -198,20 +205,24 @@ class LogitICARGibbs(GibbsBase):
             #   2.4e-6 at 12 iterations on the 10k lattice; 15 has
             #   margin.
             # - 'graph' (deflated Jacobi + rank-scaled deflation): the
-            #   2026-08-20 (rank, iters) sweep at 10k sites shows
+            #   2026-08-20 (rank, iters) sweeps at 10k sites show
             #   ESS/s is ~pure iteration count while the deflation rank
             #   sets the residual, so the budget is paired with the
-            #   RESOLVED rank (auto or caller-passed): at rank 384, 10
-            #   iters measures in-run residual max 0.021 (10x under the
-            #   0.2 guardrail) and 301 ESS/s — 1.44x the old (rank 64,
-            #   24 iters) point. A weak basis (rank < 256, e.g. a
-            #   caller passing the old default 64) keeps the old
-            #   24-iteration budget: the same sweep shows rank 64 needs
-            #   ~24 iters to hold the residual near 8.7e-4. Harder
-            #   graphs that starve either budget trip the cold-start
-            #   check or the in-run monitor loudly.
+            #   RESOLVED rank (auto or caller-passed): rank 512 at 7
+            #   iters measures in-run residual max 0.066 (3x under the
+            #   0.2 guardrail) and 314.5 ESS/s; rank 384 needs 10 iters
+            #   for residual 0.018 (301 ESS/s); a weak basis (rank <
+            #   256, e.g. the old default 64) keeps the conservative
+            #   24-iteration budget that holds its residual near
+            #   8.7e-4. Harder graphs that starve any budget trip the
+            #   cold-start check or the in-run monitor loudly.
             if self.solver == 'graph':
-                cg_iters = 10 if self.graph_rank >= 256 else 24
+                if self.graph_rank >= 512:
+                    cg_iters = 7
+                elif self.graph_rank >= 256:
+                    cg_iters = 10
+                else:
+                    cg_iters = 24
             else:
                 cg_iters = {'cg': 8}.get(self.solver, 15)
         self.cg_iters = int(cg_iters)
@@ -266,8 +277,12 @@ class LogitICARGibbs(GibbsBase):
             # vs 8.7e-4 with f32 on a 20x20 lattice, i.e. the CG stops
             # converging outright. See docs/design.md "10k-site
             # configs".
+            # the deflation BASIS shares eig_dtype's storage policy
+            # (bf16 on TPU): it only shapes the preconditioner, so
+            # rounding it is safe where rounding the panels is not
             self.graph, arrays = etasetup.setup_graph(
-                Q, self.n, self.graph_rank, self.graph_block
+                Q, self.n, self.graph_rank, self.graph_block,
+                basis_dtype=self.eig_dtype,
             )
             self.fixed.update(arrays)
             return

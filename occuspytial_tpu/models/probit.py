@@ -583,7 +583,12 @@ class ProbitICARGibbs(_ProbitBase):
             # basis keeps the conservative 24-iteration budget); the
             # probit system (omega = 1) is better conditioned still
             if solver == 'graph':
-                cg_iters = 10 if self.graph_rank >= 256 else 24
+                if self.graph_rank >= 512:
+                    cg_iters = 7
+                elif self.graph_rank >= 256:
+                    cg_iters = 10
+                else:
+                    cg_iters = 24
             else:
                 cg_iters = 15
         self.cg_iters = int(cg_iters)
@@ -629,8 +634,15 @@ class ProbitICARGibbs(_ProbitBase):
             f.update(etasetup.setup_stencil(self.lattice, Q, self.n))
             return
         if self.solver == 'graph':
+            # same basis-storage policy as the logit sampler's
+            # eig_dtype: bf16 on TPU (preconditioner-only rounding)
+            basis_dtype = (
+                jnp.bfloat16 if jax.default_backend() == 'tpu'
+                and self.dtype == jnp.float32 else self.dtype
+            )
             self.graph, arrays = etasetup.setup_graph(
-                Q, self.n, self.graph_rank, self.graph_block
+                Q, self.n, self.graph_rank, self.graph_block,
+                basis_dtype=basis_dtype,
             )
             f.update(arrays)
             return

@@ -108,7 +108,8 @@ def solver_cost_per_step(s, chains):
         band_flops = applies * 2.0 * 3 * spec.block * rows * spec.n_pad
         defl_flops = applies * 8.0 * spec.deflate * rows * spec.n_pad
         panel_bytes = 3 * spec.n_pad * spec.block * 4
-        defl_bytes = spec.n_pad * spec.deflate * 4 * 4
+        basis_item = s.fixed['gr_defl_vecs_p'].dtype.itemsize
+        defl_bytes = spec.n_pad * spec.deflate * basis_item * 4
         hbm = applies * (panel_bytes + defl_bytes
                          + rows * spec.n_pad * 4 * 2)
         return band_flops + defl_flops, hbm

@@ -117,9 +117,9 @@ def test_auto_graph_rank_policy():
     from occuspytial_tpu.models.logit import auto_graph_rank
 
     assert auto_graph_rank(256) == 64        # floor
-    assert auto_graph_rank(2600) == 100      # ~4%
-    assert auto_graph_rank(10000) == 384     # cap (10000 // 26 = 384)
-    assert auto_graph_rank(100000) == 384    # cap
+    assert auto_graph_rank(2600) == 192      # ~5%, 64-rounded (130->192)
+    assert auto_graph_rank(10000) == 512     # cap (10000 // 20 = 500)
+    assert auto_graph_rank(100000) == 512    # cap
 
 
 def test_explicit_graph_rank_zero_disables(dataset):
