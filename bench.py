@@ -14,9 +14,11 @@ excludes one-time setup, exactly like the TPU side.
 Run order is budget-aware (round-1 lesson: the driver kills long runs):
 the headline is measured FIRST and the driver JSON line printed (flushed)
 the moment it exists; the remaining configs (1: 100-site single-chain
-logit ICAR, 2: probit ICAR, 3: logit RSR, 5: 10k-site matrix-free stencil
-ICAR) then run until the ``BENCH_BUDGET_S`` deadline (default 840 s),
-writing BENCH_DETAIL.json incrementally after each config.
+logit ICAR, 2/2b: probit ICAR/RSR, 3: logit RSR, 5/5g: 10k-site
+matrix-free stencil/graph ICAR at their measured chain optima, 6:
+100k-site stencil) then run until the ``BENCH_BUDGET_S`` deadline
+(default 840 s), writing BENCH_DETAIL.json incrementally after each
+config.
 
 Configs run through a ROTATING sequence of worker subprocesses
 (``--worker``), at most ``MAX_CONFIGS_PER_WORKER`` configs each: the
@@ -635,6 +637,8 @@ def run_one(which):
 #: re-init plus cache-hit compiles — far cheaper than the
 #: fail/retry/relaunch cycle a poisoned process forces.
 MAX_CONFIGS_PER_WORKER = 2
+#: configs that always START a fresh worker (see run_worker)
+BIG_CONFIGS = frozenset({'5', '5g', '6'})
 
 
 def run_worker(configs):
@@ -660,6 +664,15 @@ def run_worker(configs):
         if done >= MAX_CONFIGS_PER_WORKER:
             hb(f'retiring after {done} configs (dispatch-budget '
                f'rotation); parent relaunches for the rest')
+            return
+        if done and which in BIG_CONFIGS:
+            # the many-dispatch configs (chunked 32-64-chain scans at
+            # 10k-100k sites) inherit too much of a used worker's
+            # dispatch budget — round 5 measured every one of them
+            # faulting mid-config when run second; give each a fresh
+            # process instead of burning a fault-recovery cycle
+            hb(f'retiring before big config {which} (fresh-process '
+               f'policy); parent relaunches for the rest')
             return
         t_c = time.time()
 

@@ -54,17 +54,20 @@ def build(which):
     Q, W, X, y, *_ = make_lattice_dataset(
         100, 100, ns=5000, seed=11, min_v=2, max_v=5,
     )
+    # chain counts match the committed bench rows (round-5 sweep:
+    # benchmarks/site_chain_sweep.json — stencil peaks at 32 chains,
+    # the graph path at 64)
     if which == '5':
         s = LogitICARGibbs(
             Q, W, X, y, random_state=11, lattice=(100, 100, 8),
         )
-    else:
-        import scipy.sparse as sps
+        return s, 32
+    import scipy.sparse as sps
 
-        s = LogitICARGibbs(
-            sps.csr_matrix(Q), W, X, y, random_state=11, solver='graph',
-        )
-    return s, 16
+    s = LogitICARGibbs(
+        sps.csr_matrix(Q), W, X, y, random_state=11, solver='graph',
+    )
+    return s, 64
 
 
 def solver_cost_per_step(s, chains):
